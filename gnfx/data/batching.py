@@ -1,0 +1,77 @@
+"""Host-side batching: networkx datasets -> dense padded NumPy arrays ->
+minibatch iterator of `GraphBatch`es.
+
+Replaces the reference's per-step Python `feed_dict` padding (SURVEY.md §3a
+hot loop) with one up-front vectorised pack; the training loop then just
+slices device-ready arrays. Deterministic given (seed, epoch) so data order
+is reproducible for checkpoint-exact resume (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from gnfx.graph import GraphBatch, batch_from_dense, networkx_to_arrays
+
+
+def dataset_to_arrays(graphs: Sequence, max_nodes: int):
+    """Pack nx graphs -> (adj[B,N,N] f32, n_node[B] i32) NumPy arrays."""
+    return networkx_to_arrays(graphs, max_nodes)
+
+
+def empirical_size_distribution(n_node: np.ndarray, max_nodes: int) -> np.ndarray:
+    """p[k] = P(|V| = k), k in [0, max_nodes]; the sampler draws sizes from
+    this (SURVEY.md §3c: n ~ empirical size dist)."""
+    counts = np.bincount(np.asarray(n_node), minlength=max_nodes + 1).astype(np.float64)
+    return counts / counts.sum()
+
+
+def batch_iterator(
+    adj: np.ndarray,
+    n_node: np.ndarray,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    epoch: int = 0,
+    nodes: np.ndarray | None = None,
+    drop_remainder: bool = True,
+) -> Iterator[GraphBatch]:
+    """Shuffled minibatches for one epoch; deterministic in (seed, epoch)."""
+    num = adj.shape[0]
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    perm = rng.permutation(num)
+    end = num - (num % batch_size) if drop_remainder else num
+    for start in range(0, end, batch_size):
+        idx = perm[start : start + batch_size]
+        yield batch_from_dense(
+            adj[idx], n_node[idx], None if nodes is None else nodes[idx]
+        )
+
+
+def repeat_batches(
+    adj: np.ndarray,
+    n_node: np.ndarray,
+    batch_size: int,
+    num_steps: int,
+    *,
+    seed: int = 0,
+    start_step: int = 0,
+    nodes: np.ndarray | None = None,
+) -> Iterator[GraphBatch]:
+    """Infinite-style iterator yielding exactly `num_steps` batches, cycling
+    epochs. `start_step` fast-forwards after checkpoint resume: the stream is
+    a pure function of (seed, step)."""
+    num = adj.shape[0]
+    per_epoch = max(1, num // batch_size)
+    for step in range(start_step, num_steps):
+        epoch, pos = divmod(step, per_epoch)
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        perm = rng.permutation(num)
+        idx = perm[pos * batch_size : (pos + 1) * batch_size]
+        if len(idx) < batch_size:  # pad the tail by wrapping
+            idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+        yield batch_from_dense(
+            adj[idx], n_node[idx], None if nodes is None else nodes[idx]
+        )

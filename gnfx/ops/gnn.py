@@ -1,0 +1,148 @@
+"""Masked dense message passing (the framework's GNN).
+
+Covers SURVEY.md §2.1 #2 (the reference's `graph_nets.blocks` + sonnet MLP
+message-passing stack) with a TPU-first realization: messages aggregate via a
+batched `einsum` against the dense masked adjacency — one big MXU contraction
+per round instead of gather/segment-sum — and every shape is static.
+
+One message-passing round, update rule (SURVEY.md §2.3):
+
+    m_v   = agg_{u in N(v)} M(h_u [, h_v])        (sum or mean aggregation)
+    h_v' <- U([h_v, m_v])   (+ residual)
+
+Two message modes:
+  * ``sender``   — M depends on the sender only: msgs = MLP(h); aggregation is
+                   `einsum('buv,buh->bvh', adj, msgs)`. O(B·N²·H) matmul,
+                   MXU-shaped. Default.
+  * ``pairwise`` — M depends on (sender, receiver): first layer computed as a
+                   broadcast sum of two projections (never materialising the
+                   concat), then aggregated. O(B·N²·H) memory — fine for the
+                   small/medium graphs of every BASELINE config; the Pallas
+                   blockwise kernel (gnfx/ops/pallas_mp.py) tiles it for
+                   large N.
+
+A segment-sum aggregation oracle is provided for tests only (SURVEY.md §4.1
+"masked-MP equivalence").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from gnfx.graph import GraphBatch
+from gnfx.ops.mlp import apply_mlp, init_mlp
+
+
+@dataclasses.dataclass(frozen=True)
+class GNNConfig:
+    in_dim: int
+    hidden_dim: int
+    out_dim: int
+    num_rounds: int = 3
+    aggregation: Literal["mean", "sum"] = "mean"
+    message_mode: Literal["sender", "pairwise"] = "sender"
+    msg_layers: int = 2          # depth of the message MLP (sender mode)
+    upd_layers: int = 2          # depth of the update MLP
+    residual: bool = True
+    zero_init_out: bool = False  # zero final head: GNN starts as the zero map
+    compute_dtype: str = "float32"  # "bfloat16" to run MP matmuls on the MXU in bf16
+
+
+def init_gnn(key: jax.Array, cfg: GNNConfig) -> dict:
+    k_embed, k_out, *k_rounds = jax.random.split(key, 2 + cfg.num_rounds)
+    H = cfg.hidden_dim
+    rounds = []
+    for kr in k_rounds:
+        km, ku = jax.random.split(kr)
+        if cfg.message_mode == "sender":
+            msg = init_mlp(km, [H] * cfg.msg_layers + [H])
+        else:
+            k1, k2 = jax.random.split(km)
+            # first pairwise layer: W_send, W_recv, bias; then a tail MLP
+            msg = {
+                "w_send": init_mlp(k1, [H, H])["w"][0],
+                "w_recv": init_mlp(k2, [H, H])["w"][0],
+                "b": jnp.zeros((H,), jnp.float32),
+            }
+        upd = init_mlp(ku, [2 * H] + [H] * (cfg.upd_layers - 1) + [H])
+        rounds.append({"msg": msg, "upd": upd})
+    return {
+        "embed": init_mlp(k_embed, [cfg.in_dim, H]),
+        "rounds": rounds,
+        "out": init_mlp(k_out, [H, cfg.out_dim], final_zeros=cfg.zero_init_out),
+    }
+
+
+def _normalizer(graph: GraphBatch, cfg: GNNConfig) -> jax.Array:
+    """f32[B, N, 1] divisor for aggregated messages at each receiver."""
+    if cfg.aggregation == "sum":
+        return jnp.ones((graph.batch_size, graph.max_nodes, 1), jnp.float32)
+    deg_in = jnp.sum(graph.adj, axis=1)  # receivers index axis -1 of adj
+    return jnp.maximum(deg_in, 1.0)[..., None]
+
+
+def aggregate_dense(adj: jax.Array, msgs: jax.Array) -> jax.Array:
+    """agg[b, v] = sum_u adj[b, u, v] * msgs[b, u]  — one MXU contraction."""
+    return jnp.einsum(
+        "buv,buh->bvh", adj, msgs, preferred_element_type=jnp.float32
+    )
+
+
+def aggregate_segment(
+    senders: jax.Array, receivers: jax.Array, msgs: jax.Array, num_nodes: int
+) -> jax.Array:
+    """Sparse segment-sum oracle over an edge list (single graph, test-only).
+
+    msgs: f32[num_nodes, H]; result[v] = sum over edges (u->v) of msgs[u].
+    """
+    edge_msgs = msgs[senders]
+    return jax.ops.segment_sum(edge_msgs, receivers, num_segments=num_nodes)
+
+
+def apply_gnn(params: dict, cfg: GNNConfig, x: jax.Array, graph: GraphBatch) -> jax.Array:
+    """Run the GNN on node features x (f32[B, N, in_dim]) over graph.adj.
+
+    Output f32[B, N, out_dim], exactly zero on padded node slots when the
+    output head is zero-initialised or by final masking (always applied).
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    mask = graph.node_mask[..., None]
+    norm = _normalizer(graph, cfg)
+    adj = graph.adj
+
+    h = apply_mlp(params["embed"], x * mask, compute_dtype=dtype)
+    h = h * mask
+    for rnd in params["rounds"]:
+        if cfg.message_mode == "sender":
+            msgs = apply_mlp(rnd["msg"], jax.nn.relu(h), compute_dtype=dtype)
+            msgs = msgs * mask  # padded senders contribute nothing
+            agg = aggregate_dense(adj.astype(dtype), msgs.astype(dtype))
+        else:
+            hm = jax.nn.relu(h) * mask
+            pre_s = jnp.dot(
+                hm.astype(dtype), rnd["msg"]["w_send"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            pre_r = jnp.dot(
+                hm.astype(dtype), rnd["msg"]["w_recv"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            # m[b, u, v, :] = relu(pre_s[b, u] + pre_r[b, v] + b)
+            m = jax.nn.relu(
+                pre_s[:, :, None, :] + pre_r[:, None, :, :] + rnd["msg"]["b"]
+            )
+            agg = jnp.einsum(
+                "buv,buvh->bvh", adj.astype(dtype), m.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+        agg = agg / norm
+        upd_in = jnp.concatenate([h, agg], axis=-1)
+        out = apply_mlp(rnd["upd"], upd_in, compute_dtype=dtype)
+        h = (h + out) if cfg.residual else out
+        h = h * mask
+    y = apply_mlp(params["out"], h, compute_dtype=dtype)
+    return y * mask
