@@ -1,0 +1,180 @@
+"""Typed configs + preset registry + `key=value` CLI overrides.
+
+Replaces the reference's per-script argparse/absl flags (SURVEY.md §2.1 #11)
+with one registry of named presets matching the five BASELINE.json configs.
+The fully resolved config is serialised into every checkpoint and metrics
+file (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+from gnfx.models.flow import FlowConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "community-small"
+    seed: int = 1234
+    num_graphs: int | None = None   # None -> dataset default
+    batch_size: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class AEConfig:
+    """Graph auto-encoder (SURVEY.md §2.1 #5)."""
+    embed_dim: int = 14             # node embedding dim == flow node_dim
+    feature_dim: int = 14           # random input features fed to the encoder
+    gnn_hidden: int = 64
+    gnn_rounds: int = 3
+    aggregation: str = "mean"
+    message_mode: str = "sender"
+    decoder_c: float = 10.0         # sharpness C in sigmoid(C(1 - d²))
+    train_steps: int = 3000
+    lr: float = 1e-3
+    pos_weight: float = 2.0         # BCE class weight on edges (sparse graphs)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_steps: int = 5000
+    lr: float = 1e-3
+    lr_warmup: int = 100
+    grad_clip: float = 10.0
+    weight_decay: float = 0.0
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    eval_every: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    """Device-mesh layout (SURVEY.md §2.2). data axis shards graph batches;
+    model axis is exposed for TP of MLP weights but defaults to 1."""
+    data_axis: int = -1             # -1 -> all available devices
+    model_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "experiment"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    flow: FlowConfig = dataclasses.field(default_factory=lambda: FlowConfig(node_dim=14))
+    ae: AEConfig = dataclasses.field(default_factory=AEConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    dist: DistConfig = dataclasses.field(default_factory=DistConfig)
+
+
+def _preset(name, **kw) -> ExperimentConfig:
+    return ExperimentConfig(name=name, **kw)
+
+
+# The five BASELINE.json configs (SURVEY.md §6) + a tiny CI smoke preset.
+PRESETS: dict[str, ExperimentConfig] = {
+    "community-small": _preset(
+        "community-small",
+        data=DataConfig(dataset="community-small", batch_size=32),
+        flow=FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3),
+        ae=AEConfig(embed_dim=14, feature_dim=14),
+        train=TrainConfig(num_steps=5000),
+    ),
+    "ego-small": _preset(
+        "ego-small",
+        data=DataConfig(dataset="ego-small", batch_size=32),
+        flow=FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3),
+        ae=AEConfig(embed_dim=14, feature_dim=14),
+        train=TrainConfig(num_steps=5000),
+    ),
+    "protein": _preset(
+        "protein",
+        data=DataConfig(dataset="protein", batch_size=8),
+        flow=FlowConfig(
+            node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3,
+            compute_dtype="bfloat16",
+        ),
+        ae=AEConfig(embed_dim=14, feature_dim=14, train_steps=5000),
+        train=TrainConfig(num_steps=5000),
+    ),
+    "smoke": _preset(
+        "smoke",
+        data=DataConfig(dataset="community-small", batch_size=8, num_graphs=40),
+        flow=FlowConfig(node_dim=6, num_couplings=3, gnn_hidden=16, gnn_rounds=2),
+        ae=AEConfig(embed_dim=6, feature_dim=6, gnn_hidden=16, gnn_rounds=2,
+                    train_steps=200),
+        train=TrainConfig(num_steps=200, log_every=50, checkpoint_every=100,
+                          eval_every=100),
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# (de)serialisation + CLI overrides
+# ---------------------------------------------------------------------------
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    return cfg
+
+
+def to_json(cfg: ExperimentConfig) -> str:
+    return json.dumps(to_dict(cfg), indent=2, sort_keys=True)
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if current is None:
+        try:
+            return int(value)
+        except ValueError:
+            return value
+    return value
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: list[str]) -> ExperimentConfig:
+    """Apply `section.field=value` (or `name=value`) strings to a config."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} is not key=value")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        if len(parts) == 1:
+            current = getattr(cfg, parts[0])
+            cfg = dataclasses.replace(cfg, **{parts[0]: _coerce(value, current)})
+        elif len(parts) == 2:
+            section = getattr(cfg, parts[0])
+            current = getattr(section, parts[1])
+            new_section = dataclasses.replace(
+                section, **{parts[1]: _coerce(value, current)}
+            )
+            cfg = dataclasses.replace(cfg, **{parts[0]: new_section})
+        else:
+            raise ValueError(f"override key {key!r} nests too deep")
+    return cfg
+
+
+def load_config(argv: list[str]) -> ExperimentConfig:
+    """CLI entry: first bare token or `preset=` picks the preset, the rest
+    are overrides. Example: `community-small train.num_steps=2000`."""
+    preset = "community-small"
+    overrides = []
+    for a in argv:
+        if "=" not in a:
+            preset = a
+        elif a.startswith("preset="):
+            preset = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    if preset not in PRESETS:
+        raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
+    return apply_overrides(PRESETS[preset], overrides)

@@ -1,0 +1,110 @@
+"""Graph auto-encoder: permutation-equivariant encoder GNN + pairwise-distance
+edge decoder.
+
+Covers SURVEY.md §2.1 #5 from the spec in §2.3 [arXiv:1905.13177 §3.2.1]:
+the encoder runs message passing over the *true* adjacency on random node
+features (structure is the only signal; random features break symmetry), and
+the decoder scores an edge from the squared distance between embeddings:
+
+    Â_uv = sigmoid(C · (1 − ‖x_u − x_v‖²))
+
+— a monotone-decreasing squashing of pairwise distance, trained with
+class-weighted BCE against the true adjacency; generation thresholds at 0.5.
+The pairwise distance matrix is computed as ‖x_u‖² + ‖x_v‖² − 2·x@xᵀ — one
+MXU matmul, no N×N×D materialisation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnfx.config import AEConfig
+from gnfx.graph import GraphBatch
+from gnfx.ops.gnn import GNNConfig, apply_gnn, init_gnn
+
+
+def encoder_gnn_config(cfg: AEConfig) -> GNNConfig:
+    return GNNConfig(
+        in_dim=cfg.feature_dim,
+        hidden_dim=cfg.gnn_hidden,
+        out_dim=cfg.embed_dim,
+        num_rounds=cfg.gnn_rounds,
+        aggregation=cfg.aggregation,  # type: ignore[arg-type]
+        message_mode=cfg.message_mode,  # type: ignore[arg-type]
+    )
+
+
+def init_autoencoder(key: jax.Array, cfg: AEConfig) -> dict:
+    return {"encoder": init_gnn(key, encoder_gnn_config(cfg))}
+
+
+def random_node_features(key: jax.Array, graph: GraphBatch, feature_dim: int) -> jax.Array:
+    """~N(0,1) features on real node slots (SURVEY.md §2.3: node
+    position/random features; random is the permutation-safe choice)."""
+    f = jax.random.normal(key, (graph.batch_size, graph.max_nodes, feature_dim))
+    return f * graph.node_mask[..., None]
+
+
+def encode(params: dict, cfg: AEConfig, feats: jax.Array, graph: GraphBatch) -> jax.Array:
+    """Node embeddings f32[B, N, embed_dim], zero on padding."""
+    return apply_gnn(params["encoder"], encoder_gnn_config(cfg), feats, graph)
+
+
+def pairwise_sq_dists(x: jax.Array) -> jax.Array:
+    """d²[b, u, v] = ‖x_u − x_v‖² via the Gram-matrix identity (MXU-shaped)."""
+    sq = jnp.sum(x * x, axis=-1)
+    gram = jnp.einsum("bud,bvd->buv", x, x, preferred_element_type=jnp.float32)
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+    return jnp.maximum(d2, 0.0)
+
+
+def decode_edges(x: jax.Array, cfg: AEConfig) -> jax.Array:
+    """Edge probabilities f32[B, N, N] from embeddings."""
+    d2 = pairwise_sq_dists(x)
+    return jax.nn.sigmoid(cfg.decoder_c * (1.0 - d2))
+
+
+def edge_pair_mask(graph: GraphBatch) -> jax.Array:
+    """f32[B, N, N]: 1 on unordered real-node pairs (u < v)."""
+    m = graph.node_mask
+    pair = m[:, :, None] * m[:, None, :]
+    upper = jnp.triu(jnp.ones_like(pair), k=1)
+    return pair * upper
+
+
+def reconstruction_loss(
+    params: dict, cfg: AEConfig, feats: jax.Array, graph: GraphBatch
+) -> Tuple[jax.Array, dict]:
+    """Class-weighted BCE over real node pairs; returns (loss, aux metrics)."""
+    x = encode(params, cfg, feats, graph)
+    d2 = pairwise_sq_dists(x)
+    logits = cfg.decoder_c * (1.0 - d2)
+    labels = graph.adj
+    mask = edge_pair_mask(graph)
+    # numerically stable BCE-with-logits
+    per_pair = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    weights = jnp.where(labels > 0.5, cfg.pos_weight, 1.0) * mask
+    loss = jnp.sum(per_pair * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    pred = (logits > 0.0).astype(jnp.float32)
+    correct = jnp.sum((pred == labels) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    tp = jnp.sum(pred * labels * mask)
+    prec = tp / jnp.maximum(jnp.sum(pred * mask), 1.0)
+    rec = tp / jnp.maximum(jnp.sum(labels * mask), 1.0)
+    return loss, {"edge_acc": correct, "edge_precision": prec, "edge_recall": rec}
+
+
+def decode_to_adjacency(x: jax.Array, cfg: AEConfig, graph: GraphBatch) -> jax.Array:
+    """Hard symmetric adjacency from embeddings: threshold Â at 0.5 on real
+    pairs (SURVEY.md §3c)."""
+    probs = decode_edges(x, cfg)
+    pair = graph.node_mask[:, :, None] * graph.node_mask[:, None, :]
+    eye = jnp.eye(graph.max_nodes)[None]
+    hard = (probs > 0.5).astype(jnp.float32) * pair * (1.0 - eye)
+    # symmetrise (decoder is symmetric by construction, but be safe)
+    return jnp.maximum(hard, jnp.transpose(hard, (0, 2, 1)))

@@ -1,0 +1,75 @@
+"""Graph generation: inverse flow from the Gaussian base + edge decoding.
+
+Covers SURVEY.md §3c: n ~ empirical size distribution, z ~ N(0, I) on n
+node slots, x = flow⁻¹(z) with message passing over the fully-connected
+graph, Â = decode(x), threshold at 0.5. The whole device side is one `jit`
+over a full batch of samples; sizes are drawn on the host. `graphs/s` here
+is a north-star metric (BASELINE.json) — the device fan-out version lives in
+`gnfx.parallel.sampling`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnfx.config import AEConfig
+from gnfx.graph import GraphBatch, arrays_to_networkx, make_node_mask
+from gnfx.models import autoencoder as ae
+from gnfx.models.flow import FlowConfig, flow_inverse
+
+
+@functools.partial(jax.jit, static_argnames=("fcfg", "acfg", "max_nodes"))
+def sample_batch_device(
+    flow_params: dict,
+    fcfg: FlowConfig,
+    acfg: AEConfig,
+    key: jax.Array,
+    n_node: jax.Array,
+    max_nodes: int,
+) -> jax.Array:
+    """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N]."""
+    bsz = n_node.shape[0]
+    mask = make_node_mask(n_node, max_nodes)
+    nodes = jnp.zeros((bsz, max_nodes, fcfg.node_dim), jnp.float32)
+    gb = GraphBatch(nodes=nodes, adj=jnp.zeros((bsz, max_nodes, max_nodes)),
+                    node_mask=mask, n_node=n_node).fully_connected()
+    z = jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
+    x, _ = flow_inverse(flow_params, fcfg, z, gb)
+    return ae.decode_to_adjacency(x, acfg, gb)
+
+
+def sample_graphs(
+    flow_params: dict,
+    fcfg: FlowConfig,
+    acfg: AEConfig,
+    num_samples: int,
+    size_dist: np.ndarray,
+    max_nodes: int,
+    *,
+    seed: int = 0,
+    batch_size: int = 64,
+    min_nodes: int = 2,
+) -> List:
+    """Generate `num_samples` networkx graphs. Host draws sizes; device runs
+    fixed-shape batches; remainder batches are padded and truncated."""
+    rng = np.random.default_rng(seed)
+    sizes = rng.choice(len(size_dist), size=num_samples, p=size_dist)
+    sizes = np.maximum(sizes, min_nodes).astype(np.int32)
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for start in range(0, num_samples, batch_size):
+        chunk = sizes[start : start + batch_size]
+        pad = batch_size - len(chunk)
+        chunk_p = np.concatenate([chunk, np.full(pad, min_nodes, np.int32)]) if pad else chunk
+        adj = sample_batch_device(
+            flow_params, fcfg, acfg, jax.random.fold_in(key, start),
+            jnp.asarray(chunk_p), max_nodes,
+        )
+        adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
+        out.extend(arrays_to_networkx(adj_np, chunk))
+    return out

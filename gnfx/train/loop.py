@@ -1,0 +1,215 @@
+"""Training loops for the two-stage generation pipeline (SURVEY.md §3a/§3b).
+
+Stage 1: train the auto-encoder (BCE edge reconstruction, random node
+features resampled every step). Stage 2: freeze the encoder, materialise
+embeddings for the whole train set, train the GNF on them with message
+passing over the *fully-connected* graph (structure unknown at sample time —
+SURVEY.md §2.3).
+
+Everything per-step is one donated `jit` call; the host loop only slices
+pre-packed arrays and logs. The gradient all-reduce for a sharded batch is
+implicit in `jit` with a data-sharded input (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gnfx.config import ExperimentConfig
+from gnfx.data.batching import repeat_batches
+from gnfx.graph import GraphBatch, batch_from_dense
+from gnfx.models import autoencoder as ae
+from gnfx.models.flow import FlowConfig, init_flow, log_prob
+from gnfx.train.checkpoint import restore_checkpoint, save_checkpoint, latest_step
+from gnfx.train.metrics import MetricsWriter
+
+
+def make_optimizer(lr: float, warmup: int, grad_clip: float, num_steps: int,
+                   weight_decay: float = 0.0) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr,
+        warmup_steps=max(warmup, 1),
+        decay_steps=max(num_steps, warmup + 1),
+        end_value=lr * 0.1,
+    )
+    chain = [optax.clip_by_global_norm(grad_clip)]
+    if weight_decay > 0:
+        chain.append(optax.adamw(sched, weight_decay=weight_decay))
+    else:
+        chain.append(optax.adam(sched))
+    return optax.chain(*chain)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: auto-encoder
+# ---------------------------------------------------------------------------
+
+def make_ae_step(cfg: ExperimentConfig, tx: optax.GradientTransformation):
+    acfg = cfg.ae
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, graph: GraphBatch, key):
+        feats = ae.random_node_features(key, graph, acfg.feature_dim)
+
+        def loss_fn(p):
+            return ae.reconstruction_loss(p, acfg, feats, graph)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return step
+
+
+def train_autoencoder(
+    cfg: ExperimentConfig,
+    adj: np.ndarray,
+    n_node: np.ndarray,
+    *,
+    metrics: MetricsWriter | None = None,
+) -> dict:
+    acfg = cfg.ae
+    key = jax.random.PRNGKey(cfg.train.seed)
+    params = ae.init_autoencoder(key, acfg)
+    tx = make_optimizer(acfg.lr, cfg.train.lr_warmup, cfg.train.grad_clip,
+                        acfg.train_steps)
+    opt_state = tx.init(params)
+    step_fn = make_ae_step(cfg, tx)
+
+    batches = repeat_batches(adj, n_node, cfg.data.batch_size, acfg.train_steps,
+                             seed=cfg.data.seed)
+    for step, gb in enumerate(batches):
+        k = jax.random.fold_in(key, step)
+        params, opt_state, loss, aux = step_fn(params, opt_state, gb, k)
+        if metrics is not None and (step % cfg.train.log_every == 0
+                                    or step == acfg.train_steps - 1):
+            metrics.write(step, stage="ae", bce=loss, **aux)
+    return params
+
+
+def compute_embeddings(
+    ae_params: dict, cfg: ExperimentConfig, adj: np.ndarray, n_node: np.ndarray,
+    *, seed: int = 7,
+) -> np.ndarray:
+    """Frozen-encoder embeddings for every graph (the stage-1→2 handoff,
+    SURVEY.md §3b). Features fixed per graph index for determinism."""
+    acfg = cfg.ae
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def embed(graph: GraphBatch, k):
+        feats = ae.random_node_features(k, graph, acfg.feature_dim)
+        return ae.encode(ae_params, acfg, feats, graph)
+
+    out = []
+    bsz = cfg.data.batch_size
+    num = adj.shape[0]
+    for start in range(0, num, bsz):
+        idx = np.arange(start, min(start + bsz, num))
+        # pad the final slice to keep the jit shape static
+        pad = bsz - len(idx)
+        idx_p = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
+        gb = batch_from_dense(adj[idx_p], n_node[idx_p])
+        emb = embed(gb, jax.random.fold_in(key, start))
+        out.append(np.asarray(emb[: len(idx)]))
+    return np.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: flow over embeddings
+# ---------------------------------------------------------------------------
+
+def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
+                   *, full_graph: bool):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, graph: GraphBatch):
+        g = graph.fully_connected() if full_graph else graph
+        x = graph.nodes
+
+        def loss_fn(p):
+            lp = log_prob(p, fcfg, x, g)
+            dims = jnp.maximum(
+                jnp.sum(graph.n_node).astype(jnp.float32) * fcfg.node_dim, 1.0
+            )
+            nll_per_dim = -jnp.sum(lp) / dims
+            return nll_per_dim, {"nll_per_graph": -jnp.mean(lp)}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, loss, {**aux, "grad_norm": gnorm}
+
+    return step
+
+
+def make_flow_eval(fcfg: FlowConfig, *, full_graph: bool):
+    @jax.jit
+    def eval_nll(params, graph: GraphBatch):
+        g = graph.fully_connected() if full_graph else graph
+        lp = log_prob(params, fcfg, graph.nodes, g)
+        dims = jnp.maximum(
+            jnp.sum(graph.n_node).astype(jnp.float32) * fcfg.node_dim, 1.0
+        )
+        return -jnp.sum(lp) / dims, -jnp.mean(lp)
+
+    return eval_nll
+
+
+def train_flow(
+    cfg: ExperimentConfig,
+    adj: np.ndarray,
+    n_node: np.ndarray,
+    embeddings: np.ndarray,
+    *,
+    full_graph: bool = True,
+    metrics: MetricsWriter | None = None,
+    resume: bool = False,
+    eval_data: Tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> dict:
+    """Maximum-likelihood training of the GNF on node embeddings. Returns
+    trained flow params. Checkpoints (params, opt_state) at cadence; resumes
+    exactly when `resume` and a checkpoint exists (data order is a pure
+    function of (seed, step))."""
+    tcfg = cfg.train
+    fcfg = cfg.flow
+    params = init_flow(jax.random.PRNGKey(tcfg.seed + 1), fcfg)
+    tx = make_optimizer(tcfg.lr, tcfg.lr_warmup, tcfg.grad_clip, tcfg.num_steps,
+                        tcfg.weight_decay)
+    opt_state = tx.init(params)
+    start_step = 0
+    if resume:
+        last = latest_step(tcfg.checkpoint_dir)
+        if last is not None:
+            (params, opt_state), start_step = restore_checkpoint(
+                tcfg.checkpoint_dir, (params, opt_state)
+            )
+    step_fn = make_flow_step(fcfg, tx, full_graph=full_graph)
+    eval_fn = make_flow_eval(fcfg, full_graph=full_graph)
+
+    batches = repeat_batches(
+        adj, n_node, cfg.data.batch_size, tcfg.num_steps,
+        seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
+    )
+    for step, gb in zip(range(start_step, tcfg.num_steps), batches):
+        params, opt_state, loss, aux = step_fn(params, opt_state, gb)
+        last_step = step == tcfg.num_steps - 1
+        if metrics is not None and (step % tcfg.log_every == 0 or last_step):
+            metrics.write(step, stage="flow", nll_per_dim=loss, **aux)
+        if (step % tcfg.eval_every == 0 or last_step) and eval_data is not None:
+            e_adj, e_n, e_emb = eval_data
+            egb = batch_from_dense(e_adj, e_n, e_emb)
+            nll_dim, nll_graph = eval_fn(params, egb)
+            if metrics is not None:
+                metrics.write(step, stage="eval", heldout_nll_per_dim=nll_dim,
+                              heldout_nll_per_graph=nll_graph)
+        if step % tcfg.checkpoint_every == 0 and step > 0 or last_step:
+            save_checkpoint(tcfg.checkpoint_dir, step + 1, (params, opt_state))
+    return params

@@ -1,0 +1,104 @@
+"""Two-stage graph-generation training CLI (SURVEY.md §3a/§3b/§3c/§3d).
+
+Usage:
+    python scripts/train_gnf.py <preset> [section.key=value ...]
+
+e.g.
+    python scripts/train_gnf.py community-small train.num_steps=2000
+    python scripts/train_gnf.py smoke                      # tiny CI run
+    python scripts/train_gnf.py community-small resume=1   # resume from ckpt
+
+Runs: stage-1 auto-encoder -> frozen-encoder embeddings -> stage-2 GNF
+(max-likelihood, fully-connected MP) -> inverse-flow sampling -> MMD eval
+(degree / clustering / orbit) against the held-out test split. Metrics go to
+<run_dir>/metrics.jsonl, final results to <run_dir>/results.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from gnfx.config import load_config, to_dict, to_json
+from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
+from gnfx.eval.mmd import evaluate_generated
+from gnfx.sample import sample_graphs
+from gnfx.train.loop import compute_embeddings, train_autoencoder, train_flow
+from gnfx.train.metrics import MetricsWriter
+
+
+def main(argv):
+    overrides = [a for a in argv if a not in ("--resume",)]
+    resume = "resume=1" in overrides or "--resume" in argv
+    overrides = [a for a in overrides if not a.startswith("resume=")]
+    cfg = load_config(overrides)
+
+    run_dir = os.path.join("runs", cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg = cfg  # checkpoint dir under the run dir
+    from dataclasses import replace
+    cfg = replace(cfg, train=replace(cfg.train,
+                                     checkpoint_dir=os.path.join(run_dir, "ckpt")))
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(to_json(cfg))
+    print(f"[gnfx] preset={cfg.name} backend={jax.default_backend()} "
+          f"devices={jax.device_count()}", flush=True)
+
+    t0 = time.time()
+    train_graphs, test_graphs, max_nodes = create_dataset(
+        cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
+    )
+    adj_tr, n_tr = dataset_to_arrays(train_graphs, max_nodes)
+    adj_te, n_te = dataset_to_arrays(test_graphs, max_nodes)
+    print(f"[gnfx] dataset {cfg.data.dataset}: {len(train_graphs)} train / "
+          f"{len(test_graphs)} test, max_nodes={max_nodes} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    metrics = MetricsWriter(os.path.join(run_dir, "metrics.jsonl"), resume=resume)
+
+    # Stage 1: auto-encoder
+    t0 = time.time()
+    ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics)
+    print(f"[gnfx] stage-1 AE done in {time.time()-t0:.1f}s", flush=True)
+
+    # Handoff: frozen-encoder embeddings
+    emb_tr = compute_embeddings(ae_params, cfg, adj_tr, n_tr)
+    emb_te = compute_embeddings(ae_params, cfg, adj_te, n_te)
+    print(f"[gnfx] embeddings: train {emb_tr.shape}, std={emb_tr.std():.3f}",
+          flush=True)
+
+    # Stage 2: flow
+    t0 = time.time()
+    flow_params = train_flow(
+        cfg, adj_tr, n_tr, emb_tr, full_graph=True, metrics=metrics,
+        resume=resume, eval_data=(adj_te, n_te, emb_te),
+    )
+    print(f"[gnfx] stage-2 flow done in {time.time()-t0:.1f}s", flush=True)
+
+    # Sampling + MMD eval
+    t0 = time.time()
+    size_dist = empirical_size_distribution(n_tr, max_nodes)
+    num_samples = max(len(test_graphs) * 4, 64)
+    sampled = sample_graphs(
+        flow_params, cfg.flow, cfg.ae, num_samples, size_dist, max_nodes,
+        seed=cfg.train.seed, batch_size=cfg.data.batch_size,
+    )
+    sample_time = time.time() - t0
+    results = evaluate_generated(test_graphs, sampled)
+    results["graphs_per_s"] = num_samples / sample_time
+    results["num_samples"] = num_samples
+    metrics.write(cfg.train.num_steps, stage="final", **results)
+    with open(os.path.join(run_dir, "results.json"), "w") as f:
+        json.dump({"config": to_dict(cfg), "results": results}, f, indent=2)
+    print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
+    metrics.close()
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,76 @@
+"""Auto-encoder tests: decoder symmetry/range, loss learns, equivariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnfx.config import AEConfig
+from gnfx.graph import batch_from_dense
+from gnfx.models import autoencoder as ae
+
+
+def _batch(key, bsz=3, max_n=8):
+    k1, k2 = jax.random.split(key)
+    n_node = jax.random.randint(k1, (bsz,), 4, max_n + 1)
+    a = (jax.random.uniform(k2, (bsz, max_n, max_n)) < 0.4).astype(jnp.float32)
+    a = jnp.triu(a, 1)
+    a = a + jnp.transpose(a, (0, 2, 1))
+    return batch_from_dense(a, n_node)
+
+
+def test_decoder_symmetry_and_range():
+    cfg = AEConfig(embed_dim=6, feature_dim=6)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 6))
+    probs = ae.decode_edges(x, cfg)
+    p = np.asarray(probs)
+    np.testing.assert_allclose(p, np.transpose(p, (0, 2, 1)), atol=1e-6)
+    assert p.min() >= 0.0 and p.max() <= 1.0
+    # identical embeddings -> distance 0 -> prob sigmoid(C) ~ 1
+    x_same = jnp.zeros((1, 4, 6))
+    p_same = np.asarray(ae.decode_edges(x_same, cfg))
+    assert p_same.min() > 0.99
+
+
+def test_pairwise_sq_dists_matches_direct():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 3))
+    d2 = np.asarray(ae.pairwise_sq_dists(x))
+    xn = np.asarray(x)
+    direct = ((xn[:, :, None, :] - xn[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, direct, atol=1e-5)
+
+
+def test_reconstruction_loss_decreases():
+    cfg = AEConfig(embed_dim=8, feature_dim=8, gnn_hidden=32, gnn_rounds=2)
+    gb = _batch(jax.random.PRNGKey(2))
+    params = ae.init_autoencoder(jax.random.PRNGKey(3), cfg)
+    feats = ae.random_node_features(jax.random.PRNGKey(4), gb, cfg.feature_dim)
+
+    import optax
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: ae.reconstruction_loss(p, cfg, feats, gb), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first = None
+    for i in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.7 * first, (first, float(loss))
+
+
+def test_decode_to_adjacency_masked_symmetric():
+    cfg = AEConfig(embed_dim=4, feature_dim=4)
+    gb = _batch(jax.random.PRNGKey(5))
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 8, 4)) * gb.node_mask[..., None]
+    hard = np.asarray(ae.decode_to_adjacency(x, cfg, gb))
+    np.testing.assert_array_equal(hard, np.transpose(hard, (0, 2, 1)))
+    assert np.all(np.diagonal(hard, axis1=1, axis2=2) == 0)
+    m = np.asarray(gb.node_mask)
+    assert np.all(hard * (1 - m[:, :, None]) == 0)

@@ -1,0 +1,62 @@
+"""Checkpoint/resume tests (SURVEY.md §5): round trip, pruning, determinism
+of the data stream under fast-forward."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnfx.data.batching import repeat_batches
+from gnfx.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
+
+def _state():
+    return {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "step_stuff": [jnp.array(3), jnp.array([1.5, 2.5])],
+    }
+
+
+def test_round_trip(tmp_path):
+    d = str(tmp_path)
+    state = _state()
+    save_checkpoint(d, 100, state, meta={"note": "x"})
+    restored, step = restore_checkpoint(d, _state())
+    assert step == 100
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["step_stuff"][1]), [1.5, 2.5]
+    )
+
+
+def test_prune_and_latest(tmp_path):
+    d = str(tmp_path)
+    for s in [1, 2, 3, 4, 5]:
+        save_checkpoint(d, s, _state(), keep=3)
+    assert latest_step(d) == 5
+    # only 3 newest remain
+    import os
+    files = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+    assert files == ["ckpt_00000003.npz", "ckpt_00000004.npz", "ckpt_00000005.npz"]
+
+
+def test_missing_raises(tmp_path):
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(str(tmp_path), _state())
+
+
+def test_data_stream_fast_forward_determinism():
+    """Resume correctness: stream(start_step=k) == stream(0..)[k:]."""
+    rng = np.random.default_rng(0)
+    adj = (rng.random((10, 6, 6)) < 0.3).astype(np.float32)
+    adj = np.triu(adj, 1)
+    adj = adj + adj.transpose(0, 2, 1)
+    n_node = rng.integers(3, 7, size=10).astype(np.int32)
+
+    full = list(repeat_batches(adj, n_node, 4, 8, seed=42))
+    tail = list(repeat_batches(adj, n_node, 4, 8, seed=42, start_step=5))
+    assert len(tail) == 3
+    for a, b in zip(full[5:], tail):
+        np.testing.assert_array_equal(np.asarray(a.adj), np.asarray(b.adj))
+        np.testing.assert_array_equal(np.asarray(a.n_node), np.asarray(b.n_node))

@@ -1,0 +1,89 @@
+"""MMD protocol + native orbit counter tests (SURVEY.md §4.3)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from gnfx.eval.mmd import (
+    clustering_stats,
+    compute_mmd,
+    degree_stats,
+    emd_1d,
+    gaussian_emd_kernel,
+    orbit_stats,
+)
+from gnfx.eval.orbit import orbit_counts, orbit_counts_bruteforce, using_native
+
+
+def test_emd_1d_known_values():
+    # moving all mass one bin over costs exactly bin_dist
+    p = np.array([1.0, 0.0, 0.0])
+    q = np.array([0.0, 1.0, 0.0])
+    assert emd_1d(p, q) == pytest.approx(1.0)
+    assert emd_1d(p, q, bin_dist=0.5) == pytest.approx(0.5)
+    # two bins over
+    r = np.array([0.0, 0.0, 1.0])
+    assert emd_1d(p, r) == pytest.approx(2.0)
+    # identical (after normalisation)
+    assert emd_1d(2 * p, p) == pytest.approx(0.0)
+
+
+def test_mmd_hand_computed():
+    """MMD on toy histogram pairs vs hand-computed value."""
+    k = gaussian_emd_kernel(sigma=1.0)
+    a = [np.array([1.0, 0.0])]
+    b = [np.array([0.0, 1.0])]
+    # disc(a,a)=1, disc(b,b)=1, disc(a,b)=exp(-1/2)
+    expect = 2.0 - 2.0 * np.exp(-0.5)
+    assert compute_mmd(a, b, k) == pytest.approx(expect)
+    assert compute_mmd(a, a, k) == pytest.approx(0.0)
+
+
+def test_degree_mmd_discriminates():
+    paths = [nx.path_graph(10) for _ in range(10)]
+    cliques = [nx.complete_graph(10) for _ in range(10)]
+    same = degree_stats(paths, paths)
+    diff = degree_stats(paths, cliques)
+    assert same == pytest.approx(0.0, abs=1e-12)
+    assert diff > 0.5
+
+
+def test_clustering_mmd_discriminates():
+    rng = np.random.default_rng(0)
+    tri_rich = [nx.complete_graph(8) for _ in range(8)]
+    tri_free = [nx.cycle_graph(8) for _ in range(8)]
+    assert clustering_stats(tri_rich, tri_rich) == pytest.approx(0.0, abs=1e-12)
+    assert clustering_stats(tri_rich, tri_free) > 0.1
+
+
+def test_orbit_counts_native_matches_bruteforce():
+    assert using_native(), "native orbit library must build on this box"
+    graphs = [
+        nx.complete_graph(4), nx.cycle_graph(5), nx.star_graph(4),
+        nx.petersen_graph(), nx.path_graph(6),
+    ] + [nx.gnp_random_graph(12, 0.35, seed=s) for s in range(4)]
+    for g in graphs:
+        np.testing.assert_array_equal(orbit_counts(g), orbit_counts_bruteforce(g))
+
+
+def test_orbit_known_counts():
+    # K4: every node is in 1 K4 (orbit 14), 3 triangles (orbit 3), degree 3
+    c = orbit_counts(nx.complete_graph(4))
+    np.testing.assert_array_equal(c[:, 14], [1, 1, 1, 1])
+    np.testing.assert_array_equal(c[:, 3], [3, 3, 3, 3])
+    np.testing.assert_array_equal(c[:, 0], [3, 3, 3, 3])
+    # C5: each node lies in 2 P4s as end (orbit 4) and 2 as middle? — count:
+    # paths of 4 nodes in C5: 5 paths; each node is end in 2, middle in 2.
+    c5 = orbit_counts(nx.cycle_graph(5))
+    np.testing.assert_array_equal(c5[:, 4], [2] * 5)
+    np.testing.assert_array_equal(c5[:, 5], [2] * 5)
+    np.testing.assert_array_equal(c5[:, 8], [0] * 5)  # no C4 in C5
+
+
+def test_orbit_mmd_runs():
+    a = [nx.gnp_random_graph(10, 0.3, seed=s) for s in range(5)]
+    b = [nx.complete_graph(10) for _ in range(5)]
+    same = orbit_stats(a, a)
+    diff = orbit_stats(a, b)
+    assert same == pytest.approx(0.0, abs=1e-9)
+    assert diff > same
