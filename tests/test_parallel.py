@@ -1,0 +1,193 @@
+"""Distribution-layer tests on the 8-virtual-device CPU mesh (SURVEY.md §4.4):
+sharded training parity with single-device, sampling fan-out determinism,
+IWAE/SMC particle sharding + resampling collectives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnfx.config import AEConfig
+from gnfx.graph import batch_from_dense
+from gnfx.models import autoencoder as ae
+from gnfx.models.flow import FlowConfig, init_flow, log_prob
+from gnfx.parallel.mesh import make_mesh, replicate, shard_batch, shard_params_tp
+from gnfx.parallel.smc import (
+    edge_log_lik,
+    iwae_log_prob,
+    smc_log_prob,
+    systematic_resample_indices,
+)
+
+
+def _batch(key, bsz=8, max_n=8, dim=4):
+    k1, k2 = jax.random.split(key)
+    n_node = jax.random.randint(k1, (bsz,), 3, max_n + 1)
+    a = (jax.random.uniform(k2, (bsz, max_n, max_n)) < 0.4).astype(jnp.float32)
+    a = jnp.triu(a, 1)
+    a = a + jnp.transpose(a, (0, 2, 1))
+    return batch_from_dense(a, n_node)
+
+
+@pytest.fixture(scope="module")
+def flow_setup():
+    fcfg = FlowConfig(node_dim=4, num_couplings=3, gnn_hidden=16, gnn_rounds=2)
+    params = init_flow(jax.random.PRNGKey(0), fcfg)
+    return fcfg, params
+
+
+def test_mesh_shapes(eight_devices):
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=16, model=1)
+
+
+def test_sharded_log_prob_matches_single_device(eight_devices, flow_setup):
+    """Numeric parity: data-sharded jit == single-device (SURVEY.md §4.4)."""
+    fcfg, params = flow_setup
+    gb = _batch(jax.random.PRNGKey(1), bsz=8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 4)) * gb.node_mask[..., None]
+
+    lp_single = jax.jit(lambda p, x, g: log_prob(p, fcfg, x, g))(params, x, gb)
+
+    mesh = make_mesh()
+    gb_s = shard_batch(gb, mesh)
+    x_s = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    )
+    p_s = replicate(params, mesh)
+    lp_sharded = jax.jit(lambda p, x, g: log_prob(p, fcfg, x, g))(p_s, x_s, gb_s)
+    np.testing.assert_allclose(
+        np.asarray(lp_sharded), np.asarray(lp_single), rtol=2e-5
+    )
+
+
+def test_sharded_grad_matches_single_device(eight_devices, flow_setup):
+    """Gradient all-reduce path: grads of the sharded step == single-device."""
+    fcfg, params = flow_setup
+    gb = _batch(jax.random.PRNGKey(3), bsz=8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 8, 4)) * gb.node_mask[..., None]
+
+    def loss(p, x, g):
+        return -jnp.mean(log_prob(p, fcfg, x, g))
+
+    g_single = jax.jit(jax.grad(loss))(params, x, gb)
+    mesh = make_mesh()
+    g_sharded = jax.jit(jax.grad(loss))(
+        replicate(params, mesh),
+        jax.device_put(x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))),
+        shard_batch(gb, mesh),
+    )
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_tp_sharding_parity(eight_devices, flow_setup):
+    """Passive tensor parallelism: model-sharded params give the same result."""
+    fcfg, params = flow_setup
+    gb = _batch(jax.random.PRNGKey(5), bsz=8)
+    x = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 4)) * gb.node_mask[..., None]
+    lp_ref = jax.jit(lambda p: log_prob(p, fcfg, x, gb))(params)
+
+    mesh = make_mesh(data=4, model=2)
+    p_tp = shard_params_tp(params, mesh, min_dim=16)
+    # at least one leaf must actually be sharded over 'model'
+    sharded_leaves = [
+        l for l in jax.tree.leaves(p_tp)
+        if any("model" in str(s) for s in [l.sharding.spec])
+    ]
+    assert sharded_leaves, "TP rule sharded nothing"
+    lp_tp = jax.jit(lambda p: log_prob(p, fcfg, x, gb))(p_tp)
+    np.testing.assert_allclose(np.asarray(lp_tp), np.asarray(lp_ref), rtol=2e-4)
+
+
+def test_systematic_resample_indices():
+    w = jnp.array([0.5, 0.5, 0.0, 0.0])
+    idx = systematic_resample_indices(w, jnp.array(0.1))
+    # all mass on first two particles
+    assert set(np.asarray(idx).tolist()) <= {0, 1}
+    # uniform weights, u=0 -> identity-ish spread
+    w_u = jnp.ones(8) / 8
+    idx_u = systematic_resample_indices(w_u, jnp.array(0.0))
+    assert sorted(np.asarray(idx_u).tolist()) == list(range(8))
+
+
+@pytest.fixture(scope="module")
+def two_stage_setup():
+    fcfg = FlowConfig(node_dim=4, num_couplings=2, gnn_hidden=16, gnn_rounds=1)
+    acfg = AEConfig(embed_dim=4, feature_dim=4, gnn_hidden=16, gnn_rounds=1)
+    flow_params = init_flow(jax.random.PRNGKey(7), fcfg)
+    ae_params = ae.init_autoencoder(jax.random.PRNGKey(8), acfg)
+    g1 = jax.tree.map(lambda a: a[:1], _batch(jax.random.PRNGKey(9), bsz=2, max_n=6))
+    return fcfg, acfg, flow_params, ae_params, g1
+
+
+def _uniform_decoder_setup():
+    """Identity flow + zero-mean proposal + uniform decoder (c=0): every
+    particle weight is exactly p(G|x) = 0.5^C(n,2), so the estimators must
+    return exactly −C(n,2)·log 2 on ANY mesh — a sharp correctness test of
+    the sharded logsumexp/resampling machinery with zero MC variance."""
+    fcfg = FlowConfig(node_dim=4, num_couplings=2, gnn_hidden=16, gnn_rounds=1)
+    acfg = AEConfig(embed_dim=4, feature_dim=4, gnn_hidden=16, gnn_rounds=1,
+                    decoder_c=0.0)
+    flow_params = init_flow(jax.random.PRNGKey(7), fcfg)  # exact identity
+    ae_params = ae.init_autoencoder(jax.random.PRNGKey(8), acfg)
+    # zero the encoder output head -> mu = 0 -> q == flow base exactly
+    ae_params["encoder"]["out"] = jax.tree.map(
+        jnp.zeros_like, ae_params["encoder"]["out"]
+    )
+    g1 = jax.tree.map(lambda a: a[:1], _batch(jax.random.PRNGKey(9), bsz=2, max_n=6))
+    n = int(g1.n_node[0])
+    expected = -(n * (n - 1) / 2) * np.log(2.0)
+    return fcfg, acfg, flow_params, ae_params, g1, expected
+
+
+def test_iwae_sharded_exact(eight_devices):
+    fcfg, acfg, flow_params, ae_params, g1, expected = _uniform_decoder_setup()
+    mesh8 = make_mesh()
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    key = jax.random.PRNGKey(10)
+    lp8 = float(iwae_log_prob(flow_params, ae_params, fcfg, acfg, g1,
+                              512, key, mesh8))
+    lp1 = float(iwae_log_prob(flow_params, ae_params, fcfg, acfg, g1,
+                              512, key, mesh1))
+    np.testing.assert_allclose(lp8, expected, rtol=1e-4)
+    np.testing.assert_allclose(lp1, expected, rtol=1e-4)
+    with pytest.raises(ValueError):
+        iwae_log_prob(flow_params, ae_params, fcfg, acfg, g1, 7, key, mesh8)
+
+
+def test_smc_sharded_exact(eight_devices):
+    """SMC with tempering+resampling+MH must hit the same exact value."""
+    fcfg, acfg, flow_params, ae_params, g1, expected = _uniform_decoder_setup()
+    mesh = make_mesh()
+    smc = float(smc_log_prob(flow_params, ae_params, fcfg, acfg, g1,
+                             256, jax.random.PRNGKey(11), mesh, num_stages=4))
+    np.testing.assert_allclose(smc, expected, rtol=1e-4)
+
+
+def test_iwae_finite_nontrivial(eight_devices, two_stage_setup):
+    """Untrained model, real decoder: estimates are high-variance but must
+    be finite and the machinery must run end-to-end on the 8-device mesh."""
+    fcfg, acfg, flow_params, ae_params, g1 = two_stage_setup
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(12)
+    lp = float(iwae_log_prob(flow_params, ae_params, fcfg, acfg, g1,
+                             256, key, mesh))
+    smc = float(smc_log_prob(flow_params, ae_params, fcfg, acfg, g1,
+                             128, key, mesh, num_stages=4))
+    assert np.isfinite(lp) and np.isfinite(smc)
+
+
+def test_edge_log_lik_perfect_embedding():
+    """Embeddings that reproduce the graph exactly give near-zero BCE."""
+    acfg = AEConfig(embed_dim=2, feature_dim=2, decoder_c=20.0)
+    # two nodes connected, at distance 0 -> prob sigmoid(C) ~ 1
+    adj = jnp.array([[[0.0, 1.0], [1.0, 0.0]]])
+    gb = batch_from_dense(adj, jnp.array([2]))
+    x = jnp.zeros((1, 2, 2))
+    ll = float(edge_log_lik(x, gb, acfg)[0])
+    assert ll > -1e-3
