@@ -44,6 +44,14 @@ class FlowConfig:
     message_mode: str = "sender"
     s_cap: float = 3.0            # soft clamp on log-scales
     compute_dtype: str = "float32"
+    # "affine": z¹ = x¹·exp(s)+t (exact non-zero log-det, density estimation)
+    # "additive": z¹ = x¹+t (RevNet-style; log-det 0; stable deep supervised
+    #             backbone — activations cannot blow up multiplicatively)
+    coupling: str = "affine"
+    # LayerNorm on each s/t network's INPUT half. Inside F, so invertibility
+    # and the log-det formula are untouched; bounds how activation growth in
+    # x feeds back into s/t magnitudes (load-bearing for deep stacks).
+    st_input_norm: bool = False
 
     def __post_init__(self):
         if self.node_dim % 2 != 0:
@@ -81,10 +89,19 @@ def init_flow(key: jax.Array, cfg: FlowConfig) -> dict:
 
 
 def _st(params_gnn: dict, cfg: FlowConfig, h: jax.Array, graph: GraphBatch):
-    """Run one s/t GNN on a half, returning (s, t), both masked, s clamped."""
+    """Run one s/t GNN on a half, returning (s, t), both masked, s clamped.
+    In additive mode s is identically 0 (unit scale, zero log-det)."""
+    if cfg.st_input_norm:
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.var(h, axis=-1, keepdims=True)
+        h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+        h = h * graph.node_mask[..., None]
     out = apply_gnn(params_gnn, cfg.st_gnn_config(), h, graph)
     s_raw, t = jnp.split(out, 2, axis=-1)
-    s = cfg.s_cap * jnp.tanh(s_raw / cfg.s_cap)
+    if cfg.coupling == "additive":
+        s = jnp.zeros_like(s_raw)
+    else:
+        s = cfg.s_cap * jnp.tanh(s_raw / cfg.s_cap)
     return s, t
 
 
