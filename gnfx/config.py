@@ -80,14 +80,16 @@ PRESETS: dict[str, ExperimentConfig] = {
         "community-small",
         data=DataConfig(dataset="community-small", batch_size=32),
         flow=FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3),
-        ae=AEConfig(embed_dim=14, feature_dim=14),
+        ae=AEConfig(embed_dim=14, feature_dim=14, gnn_hidden=128, gnn_rounds=4,
+                    pos_weight=1.0),
         train=TrainConfig(num_steps=5000),
     ),
     "ego-small": _preset(
         "ego-small",
         data=DataConfig(dataset="ego-small", batch_size=32),
         flow=FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3),
-        ae=AEConfig(embed_dim=14, feature_dim=14),
+        ae=AEConfig(embed_dim=14, feature_dim=14, gnn_hidden=128, gnn_rounds=4,
+                    pos_weight=1.0),
         train=TrainConfig(num_steps=5000),
     ),
     "protein": _preset(

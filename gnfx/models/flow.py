@@ -115,9 +115,11 @@ def coupling_forward(
 ) -> Tuple[jax.Array, jax.Array]:
     """One GRevNet coupling step. x f32[B,N,D] -> (z, logdet[B])."""
     x0, x1 = jnp.split(x, 2, axis=-1)
-    s1, t1 = _st(layer_params["F1"], cfg, x0, graph)
+    with jax.named_scope("coupling_F1"):
+        s1, t1 = _st(layer_params["F1"], cfg, x0, graph)
     z1 = x1 * jnp.exp(s1) + t1
-    s2, t2 = _st(layer_params["F2"], cfg, z1, graph)
+    with jax.named_scope("coupling_F2"):
+        s2, t2 = _st(layer_params["F2"], cfg, z1, graph)
     z0 = x0 * jnp.exp(s2) + t2
     z = jnp.concatenate([z0, z1], axis=-1) * graph.node_mask[..., None]
     logdet = _masked_sum(s1, graph) + _masked_sum(s2, graph)

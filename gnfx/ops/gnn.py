@@ -114,8 +114,9 @@ def apply_gnn(params: dict, cfg: GNNConfig, x: jax.Array, graph: GraphBatch) -> 
     norm = _normalizer(graph, cfg)
     adj = graph.adj
 
-    h = apply_mlp(params["embed"], x * mask, compute_dtype=dtype)
-    h = h * mask
+    with jax.named_scope("gnn_embed"):
+        h = apply_mlp(params["embed"], x * mask, compute_dtype=dtype)
+        h = h * mask
     for rnd in params["rounds"]:
         if cfg.message_mode == "sender":
             msgs = apply_mlp(rnd["msg"], jax.nn.relu(h), compute_dtype=dtype)

@@ -127,11 +127,24 @@ def compute_embeddings(
 # ---------------------------------------------------------------------------
 
 def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
-                   *, full_graph: bool):
+                   *, full_graph: bool, ae_params=None, acfg=None):
+    """Flow training step. When `ae_params` is given, node embeddings are
+    recomputed INSIDE the step from freshly sampled random encoder features
+    (encoder frozen): the flow then models the embedding *distribution*
+    rather than a finite set of materialised points — materialising once
+    made the flow memorise the train embeddings (train NLL/dim → −3) while
+    held-out NLL diverged. Without `ae_params`, `graph.nodes` are the data
+    (plain density estimation)."""
+
+    def embed(graph: GraphBatch, key):
+        feats = ae.random_node_features(key, graph, acfg.feature_dim)
+        x = ae.encode(ae_params, acfg, feats, graph)
+        return jax.lax.stop_gradient(x)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, graph: GraphBatch):
+    def step(params, opt_state, graph: GraphBatch, key):
         g = graph.fully_connected() if full_graph else graph
-        x = graph.nodes
+        x = embed(graph, key) if ae_params is not None else graph.nodes
 
         def loss_fn(p):
             lp = log_prob(p, fcfg, x, g)
@@ -147,14 +160,15 @@ def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
         gnorm = optax.global_norm(grads)
         return params, opt_state, loss, {**aux, "grad_norm": gnorm}
 
-    return step
+    return step, embed
 
 
-def make_flow_eval(fcfg: FlowConfig, *, full_graph: bool):
+def make_flow_eval(fcfg: FlowConfig, *, full_graph: bool, embed=None):
     @jax.jit
-    def eval_nll(params, graph: GraphBatch):
+    def eval_nll(params, graph: GraphBatch, key):
         g = graph.fully_connected() if full_graph else graph
-        lp = log_prob(params, fcfg, graph.nodes, g)
+        x = embed(graph, key) if embed is not None else graph.nodes
+        lp = log_prob(params, fcfg, x, g)
         dims = jnp.maximum(
             jnp.sum(graph.n_node).astype(jnp.float32) * fcfg.node_dim, 1.0
         )
@@ -167,20 +181,22 @@ def train_flow(
     cfg: ExperimentConfig,
     adj: np.ndarray,
     n_node: np.ndarray,
-    embeddings: np.ndarray,
+    ae_params: dict | None = None,
     *,
+    embeddings: np.ndarray | None = None,
     full_graph: bool = True,
     metrics: MetricsWriter | None = None,
     resume: bool = False,
-    eval_data: Tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    eval_data: Tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict:
-    """Maximum-likelihood training of the GNF on node embeddings. Returns
-    trained flow params. Checkpoints (params, opt_state) at cadence; resumes
-    exactly when `resume` and a checkpoint exists (data order is a pure
-    function of (seed, step))."""
+    """Maximum-likelihood training of the GNF on node embeddings (computed
+    in-step from the frozen encoder when `ae_params` is given, else taken
+    from `embeddings`). Checkpoints (params, opt_state) at cadence; resumes
+    exactly (data order is a pure function of (seed, step))."""
     tcfg = cfg.train
     fcfg = cfg.flow
-    params = init_flow(jax.random.PRNGKey(tcfg.seed + 1), fcfg)
+    key = jax.random.PRNGKey(tcfg.seed + 1)
+    params = init_flow(key, fcfg)
     tx = make_optimizer(tcfg.lr, tcfg.lr_warmup, tcfg.grad_clip, tcfg.num_steps,
                         tcfg.weight_decay)
     opt_state = tx.init(params)
@@ -191,22 +207,30 @@ def train_flow(
             (params, opt_state), start_step = restore_checkpoint(
                 tcfg.checkpoint_dir, (params, opt_state)
             )
-    step_fn = make_flow_step(fcfg, tx, full_graph=full_graph)
-    eval_fn = make_flow_eval(fcfg, full_graph=full_graph)
+    step_fn, embed = make_flow_step(fcfg, tx, full_graph=full_graph,
+                                    ae_params=ae_params, acfg=cfg.ae)
+    eval_fn = make_flow_eval(
+        fcfg, full_graph=full_graph,
+        embed=embed if ae_params is not None else None,
+    )
 
     batches = repeat_batches(
         adj, n_node, cfg.data.batch_size, tcfg.num_steps,
         seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
     )
+    eval_key = jax.random.fold_in(key, 2**20)
     for step, gb in zip(range(start_step, tcfg.num_steps), batches):
-        params, opt_state, loss, aux = step_fn(params, opt_state, gb)
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, gb, jax.random.fold_in(key, step)
+        )
         last_step = step == tcfg.num_steps - 1
         if metrics is not None and (step % tcfg.log_every == 0 or last_step):
             metrics.write(step, stage="flow", nll_per_dim=loss, **aux)
         if (step % tcfg.eval_every == 0 or last_step) and eval_data is not None:
-            e_adj, e_n, e_emb = eval_data
+            e_adj, e_n = eval_data[0], eval_data[1]
+            e_emb = eval_data[2] if len(eval_data) > 2 else None
             egb = batch_from_dense(e_adj, e_n, e_emb)
-            nll_dim, nll_graph = eval_fn(params, egb)
+            nll_dim, nll_graph = eval_fn(params, egb, eval_key)
             if metrics is not None:
                 metrics.write(step, stage="eval", heldout_nll_per_dim=nll_dim,
                               heldout_nll_per_graph=nll_graph)

@@ -28,7 +28,7 @@ from gnfx.config import load_config, to_dict, to_json
 from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
 from gnfx.eval.mmd import evaluate_generated
 from gnfx.sample import sample_graphs
-from gnfx.train.loop import compute_embeddings, train_autoencoder, train_flow
+from gnfx.train.loop import train_autoencoder, train_flow
 from gnfx.train.metrics import MetricsWriter
 
 
@@ -66,17 +66,13 @@ def main(argv):
     ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics)
     print(f"[gnfx] stage-1 AE done in {time.time()-t0:.1f}s", flush=True)
 
-    # Handoff: frozen-encoder embeddings
-    emb_tr = compute_embeddings(ae_params, cfg, adj_tr, n_tr)
-    emb_te = compute_embeddings(ae_params, cfg, adj_te, n_te)
-    print(f"[gnfx] embeddings: train {emb_tr.shape}, std={emb_tr.std():.3f}",
-          flush=True)
-
-    # Stage 2: flow
+    # Stage 2: flow on in-step frozen-encoder embeddings (fresh random
+    # encoder features every step — the flow models the embedding
+    # distribution, not a finite set of points)
     t0 = time.time()
     flow_params = train_flow(
-        cfg, adj_tr, n_tr, emb_tr, full_graph=True, metrics=metrics,
-        resume=resume, eval_data=(adj_te, n_te, emb_te),
+        cfg, adj_tr, n_tr, ae_params, full_graph=True, metrics=metrics,
+        resume=resume, eval_data=(adj_te, n_te),
     )
     print(f"[gnfx] stage-2 flow done in {time.time()-t0:.1f}s", flush=True)
 
