@@ -44,7 +44,8 @@ class GNNConfig:
     out_dim: int
     num_rounds: int = 3
     aggregation: Literal["mean", "sum"] = "mean"
-    message_mode: Literal["sender", "pairwise"] = "sender"
+    message_mode: Literal["sender", "pairwise", "attention"] = "sender"
+    attn_dim: int = 32           # q/k width for attention messages
     msg_layers: int = 2          # depth of the message MLP (sender mode)
     upd_layers: int = 2          # depth of the update MLP
     residual: bool = True
@@ -60,6 +61,13 @@ def init_gnn(key: jax.Array, cfg: GNNConfig) -> dict:
         km, ku = jax.random.split(kr)
         if cfg.message_mode == "sender":
             msg = init_mlp(km, [H] * cfg.msg_layers + [H])
+        elif cfg.message_mode == "attention":
+            k1, k2, k3 = jax.random.split(km, 3)
+            msg = {
+                "mlp": init_mlp(k1, [H] * cfg.msg_layers + [H]),
+                "wq": init_mlp(k2, [H, cfg.attn_dim])["w"][0],
+                "wk": init_mlp(k3, [H, cfg.attn_dim])["w"][0],
+            }
         else:
             k1, k2 = jax.random.split(km)
             # first pairwise layer: W_send, W_recv, bias; then a tail MLP
@@ -111,7 +119,10 @@ def apply_gnn(params: dict, cfg: GNNConfig, x: jax.Array, graph: GraphBatch) -> 
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     mask = graph.node_mask[..., None]
-    norm = _normalizer(graph, cfg)
+    if cfg.message_mode == "attention":
+        norm = 1.0  # attention weights already sum to 1 per receiver
+    else:
+        norm = _normalizer(graph, cfg)
     adj = graph.adj
 
     with jax.named_scope("gnn_embed"):
@@ -122,6 +133,30 @@ def apply_gnn(params: dict, cfg: GNNConfig, x: jax.Array, graph: GraphBatch) -> 
             msgs = apply_mlp(rnd["msg"], jax.nn.relu(h), compute_dtype=dtype)
             msgs = msgs * mask  # padded senders contribute nothing
             agg = aggregate_dense(adj.astype(dtype), msgs.astype(dtype))
+        elif cfg.message_mode == "attention":
+            # receivers attend over their in-neighbors: nodes aggregate from
+            # FEATURE-SPACE-RELEVANT senders rather than a flat mean — the
+            # load-bearing inductive bias for flows over fully-connected
+            # generation graphs, where mean aggregation collapses to one
+            # global average and hides which nodes are close.
+            hr = jax.nn.relu(h)
+            msgs = apply_mlp(rnd["msg"]["mlp"], hr, compute_dtype=dtype) * mask
+            q = jnp.dot(hr.astype(dtype), rnd["msg"]["wq"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+            kk = jnp.dot(hr.astype(dtype), rnd["msg"]["wk"].astype(dtype),
+                         preferred_element_type=jnp.float32)
+            logits = jnp.einsum("bvk,buk->bvu", q, kk,
+                                preferred_element_type=jnp.float32)
+            logits = logits / (cfg.attn_dim ** 0.5)
+            # adj[u, v]: edge u->v; receiver v attends over senders u
+            allowed = jnp.transpose(adj, (0, 2, 1)) > 0.5
+            logits = jnp.where(allowed, logits, -1e9)
+            att = jax.nn.softmax(logits, axis=-1)
+            # isolated/padded receivers: all -1e9 -> uniform junk; zero them
+            att = att * allowed.any(axis=-1, keepdims=True)
+            agg = jnp.einsum("bvu,buh->bvh", att.astype(dtype),
+                             msgs.astype(dtype),
+                             preferred_element_type=jnp.float32)
         else:
             hm = jax.nn.relu(h) * mask
             pre_s = jnp.dot(

@@ -23,7 +23,8 @@ from gnfx.models import autoencoder as ae
 from gnfx.models.flow import FlowConfig, flow_inverse
 
 
-@functools.partial(jax.jit, static_argnames=("fcfg", "acfg", "max_nodes"))
+@functools.partial(jax.jit,
+                   static_argnames=("fcfg", "acfg", "max_nodes", "temperature"))
 def sample_batch_device(
     flow_params: dict,
     fcfg: FlowConfig,
@@ -31,6 +32,7 @@ def sample_batch_device(
     key: jax.Array,
     n_node: jax.Array,
     max_nodes: int,
+    temperature: float = 1.0,
 ) -> jax.Array:
     """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N]."""
     bsz = n_node.shape[0]
@@ -38,7 +40,7 @@ def sample_batch_device(
     nodes = jnp.zeros((bsz, max_nodes, fcfg.node_dim), jnp.float32)
     gb = GraphBatch(nodes=nodes, adj=jnp.zeros((bsz, max_nodes, max_nodes)),
                     node_mask=mask, n_node=n_node).fully_connected()
-    z = jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
+    z = temperature * jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
     return ae.decode_to_adjacency(x, acfg, gb)
 
@@ -54,6 +56,7 @@ def sample_graphs(
     seed: int = 0,
     batch_size: int = 64,
     min_nodes: int = 2,
+    temperature: float = 1.0,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -68,7 +71,7 @@ def sample_graphs(
         chunk_p = np.concatenate([chunk, np.full(pad, min_nodes, np.int32)]) if pad else chunk
         adj = sample_batch_device(
             flow_params, fcfg, acfg, jax.random.fold_in(key, start),
-            jnp.asarray(chunk_p), max_nodes,
+            jnp.asarray(chunk_p), max_nodes, temperature,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         out.extend(arrays_to_networkx(adj_np, chunk))

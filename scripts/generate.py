@@ -1,0 +1,69 @@
+"""Standalone generation + MMD eval from a trained run (SURVEY.md §3c/§3d).
+
+Usage:
+    python scripts/generate.py <preset> [num_samples=N] [seed=S]
+
+Loads `runs/<preset>/params/` (written by train_gnf.py), samples graphs via
+the inverse flow + edge decoder, and reports the MMD protocol against the
+held-out test split.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from gnfx.config import PRESETS
+from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
+from gnfx.eval.mmd import evaluate_generated
+from gnfx.models import autoencoder as ae
+from gnfx.models.flow import init_flow
+from gnfx.sample import sample_graphs
+from gnfx.train.checkpoint import restore_checkpoint
+
+
+def main(argv):
+    preset = "community-small"
+    num_samples, seed = None, 0
+    for a in argv:
+        if a.startswith("num_samples="):
+            num_samples = int(a.split("=")[1])
+        elif a.startswith("seed="):
+            seed = int(a.split("=")[1])
+        elif "=" not in a:
+            preset = a
+    cfg = PRESETS[preset]
+    run_dir = os.path.join("runs", cfg.name)
+
+    template = {
+        "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
+        "flow": init_flow(jax.random.PRNGKey(0), cfg.flow),
+    }
+    params, step = restore_checkpoint(os.path.join(run_dir, "params"), template)
+    print(f"[gnfx] loaded params at step {step} from {run_dir}", flush=True)
+
+    train_graphs, test_graphs, max_nodes = create_dataset(
+        cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
+    )
+    adj_tr, n_tr = dataset_to_arrays(train_graphs, max_nodes)
+    size_dist = empirical_size_distribution(n_tr, max_nodes)
+    n = num_samples or max(len(test_graphs) * 4, 64)
+
+    t0 = time.time()
+    sampled = sample_graphs(params["flow"], cfg.flow, cfg.ae, n, size_dist,
+                            max_nodes, seed=seed,
+                            batch_size=cfg.data.batch_size)
+    dt = time.time() - t0
+    results = evaluate_generated(test_graphs, sampled)
+    results["graphs_per_s"] = n / dt
+    results["num_samples"] = n
+    print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -76,6 +76,12 @@ def main(argv):
     )
     print(f"[gnfx] stage-2 flow done in {time.time()-t0:.1f}s", flush=True)
 
+    # persist both stages' params for standalone generation/eval
+    from gnfx.train.checkpoint import save_checkpoint
+    save_checkpoint(os.path.join(run_dir, "params"), cfg.train.num_steps,
+                    {"ae": ae_params, "flow": flow_params},
+                    meta={"preset": cfg.name})
+
     # Sampling + MMD eval
     t0 = time.time()
     size_dist = empirical_size_distribution(n_tr, max_nodes)
