@@ -48,6 +48,11 @@ class FlowConfig:
     # "additive": z¹ = x¹+t (RevNet-style; log-det 0; stable deep supervised
     #             backbone — activations cannot blow up multiplicatively)
     coupling: str = "affine"
+    # data-initialised per-dim affine at the flow input (Glow's ActNorm):
+    # standardises the target distribution so couplings start from a
+    # well-conditioned base; exact log-det. Params live under
+    # params["actnorm"]; couplings under params["couplings"].
+    use_actnorm: bool = False
     # LayerNorm on each s/t network's INPUT half. Inside F, so invertibility
     # and the log-det formula are untouched; bounds how activation growth in
     # x feeds back into s/t magnitudes (load-bearing for deep stacks).
@@ -75,8 +80,16 @@ class FlowConfig:
         )
 
 
-def init_flow(key: jax.Array, cfg: FlowConfig) -> dict:
-    """Stacked parameters for T couplings: every leaf has leading axis T."""
+def init_flow(
+    key: jax.Array, cfg: FlowConfig,
+    data_mean: jax.Array | None = None,
+    data_std: jax.Array | None = None,
+) -> dict:
+    """Stacked parameters for T couplings: every leaf has leading axis T.
+
+    With `cfg.use_actnorm`, returns {"actnorm": {b, log_s}, "couplings": ...}
+    where the actnorm is initialised from the provided per-dim data statistics
+    (identity if none given)."""
     gcfg = cfg.st_gnn_config()
     keys = jax.random.split(key, cfg.num_couplings)
 
@@ -85,7 +98,27 @@ def init_flow(key: jax.Array, cfg: FlowConfig) -> dict:
         return {"F1": init_gnn(k1, gcfg), "F2": init_gnn(k2, gcfg)}
 
     per_layer = [init_one(k) for k in keys]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    couplings = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    if not cfg.use_actnorm:
+        return couplings
+    d = cfg.node_dim
+    b = jnp.zeros(d) if data_mean is None else jnp.asarray(data_mean, jnp.float32)
+    log_s = (jnp.zeros(d) if data_std is None
+             else jnp.log(jnp.asarray(data_std, jnp.float32) + 1e-6))
+    return {"actnorm": {"b": b, "log_s": log_s}, "couplings": couplings}
+
+
+def actnorm_forward(an: dict, x: jax.Array, graph: GraphBatch):
+    """y = (x − b)·exp(−log_s); log-det = −n_real·Σ log_s per graph."""
+    y = (x - an["b"]) * jnp.exp(-an["log_s"]) * graph.node_mask[..., None]
+    logdet = -jnp.sum(an["log_s"]) * graph.n_node.astype(jnp.float32)
+    return y, logdet
+
+
+def actnorm_inverse(an: dict, y: jax.Array, graph: GraphBatch):
+    x = (y * jnp.exp(an["log_s"]) + an["b"]) * graph.node_mask[..., None]
+    logdet = -jnp.sum(an["log_s"]) * graph.n_node.astype(jnp.float32)
+    return x, logdet
 
 
 def _st(params_gnn: dict, cfg: FlowConfig, h: jax.Array, graph: GraphBatch):
@@ -143,15 +176,20 @@ def coupling_inverse(
 def flow_forward(
     params: dict, cfg: FlowConfig, x: jax.Array, graph: GraphBatch
 ) -> Tuple[jax.Array, jax.Array]:
-    """z = f_T ∘ … ∘ f_1(x) and total log|det J| per graph, via one scan."""
+    """z = f_T ∘ … ∘ f_1(x) and total log|det J| per graph, via one scan.
+    An optional actnorm (params["actnorm"]) standardises x first."""
+    ld0 = jnp.zeros((x.shape[0],), jnp.float32)
+    couplings = params
+    if isinstance(params, dict) and "couplings" in params:
+        x, ld0 = actnorm_forward(params["actnorm"], x, graph)
+        couplings = params["couplings"]
 
     def body(carry, layer_params):
         h, ld = carry
         z, ldi = coupling_forward(layer_params, cfg, h, graph)
         return (z, ld + ldi), None
 
-    init = (x, jnp.zeros((x.shape[0],), jnp.float32))
-    (z, logdet), _ = jax.lax.scan(body, init, params)
+    (z, logdet), _ = jax.lax.scan(body, (x, ld0), couplings)
     return z, logdet
 
 
@@ -159,6 +197,11 @@ def flow_inverse(
     params: dict, cfg: FlowConfig, z: jax.Array, graph: GraphBatch
 ) -> Tuple[jax.Array, jax.Array]:
     """x = f_1⁻¹ ∘ … ∘ f_T⁻¹(z); scan runs the stacked layers in reverse."""
+    couplings = params
+    an = None
+    if isinstance(params, dict) and "couplings" in params:
+        an = params["actnorm"]
+        couplings = params["couplings"]
 
     def body(carry, layer_params):
         h, ld = carry
@@ -166,7 +209,10 @@ def flow_inverse(
         return (x, ld + ldi), None
 
     init = (z, jnp.zeros((z.shape[0],), jnp.float32))
-    (x, logdet), _ = jax.lax.scan(body, init, params, reverse=True)
+    (x, logdet), _ = jax.lax.scan(body, init, couplings, reverse=True)
+    if an is not None:
+        x, ld_an = actnorm_inverse(an, x, graph)
+        logdet = logdet + ld_an
     return x, logdet
 
 

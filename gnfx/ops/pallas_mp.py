@@ -167,14 +167,21 @@ def flow_forward_fused(
 ) -> Tuple[jax.Array, jax.Array]:
     """Full flow forward via the fused kernel (scan over stacked layers)."""
 
+    ld0 = jnp.zeros((x.shape[0],), jnp.float32)
+    couplings = params
+    if isinstance(params, dict) and "couplings" in params:
+        from gnfx.models.flow import actnorm_forward
+
+        x, ld0 = actnorm_forward(params["actnorm"], x, graph)
+        couplings = params["couplings"]
+
     def body(carry, layer_params):
         h, ld = carry
         z, ldi = fused_coupling_forward(layer_params, cfg, h, graph,
                                         interpret=interpret)
         return (z, ld + ldi), None
 
-    init = (x, jnp.zeros((x.shape[0],), jnp.float32))
-    (z, logdet), _ = jax.lax.scan(body, init, params)
+    (z, logdet), _ = jax.lax.scan(body, (x, ld0), couplings)
     return z, logdet
 
 

@@ -196,7 +196,26 @@ def train_flow(
     tcfg = cfg.train
     fcfg = cfg.flow
     key = jax.random.PRNGKey(tcfg.seed + 1)
-    params = init_flow(key, fcfg)
+    data_mean = data_std = None
+    if fcfg.use_actnorm:
+        # actnorm init from per-dim embedding statistics over a few batches
+        stat_src = []
+        for i, gb0 in enumerate(
+            repeat_batches(adj, n_node, cfg.data.batch_size, 4,
+                           seed=cfg.data.seed + 9, nodes=embeddings)
+        ):
+            if ae_params is not None:
+                feats = ae.random_node_features(
+                    jax.random.fold_in(key, 10_000 + i), gb0, cfg.ae.feature_dim
+                )
+                x0 = ae.encode(ae_params, cfg.ae, feats, gb0)
+            else:
+                x0 = gb0.nodes
+            m = np.asarray(gb0.node_mask) > 0
+            stat_src.append(np.asarray(x0)[m])
+        flat = np.concatenate(stat_src, axis=0)
+        data_mean, data_std = flat.mean(axis=0), flat.std(axis=0)
+    params = init_flow(key, fcfg, data_mean, data_std)
     tx = make_optimizer(tcfg.lr, tcfg.lr_warmup, tcfg.grad_clip, tcfg.num_steps,
                         tcfg.weight_decay)
     opt_state = tx.init(params)
