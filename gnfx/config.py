@@ -79,18 +79,24 @@ PRESETS: dict[str, ExperimentConfig] = {
     "community-small": _preset(
         "community-small",
         data=DataConfig(dataset="community-small", batch_size=32),
-        flow=FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3),
+        flow=FlowConfig(node_dim=14, num_couplings=12, gnn_hidden=128,
+                        gnn_rounds=3, message_mode="attention",
+                        use_actnorm=True),
         ae=AEConfig(embed_dim=14, feature_dim=14, gnn_hidden=128, gnn_rounds=4,
                     pos_weight=1.0),
-        train=TrainConfig(num_steps=5000),
+        train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
+                          checkpoint_every=20000, eval_every=20000),
     ),
     "ego-small": _preset(
         "ego-small",
         data=DataConfig(dataset="ego-small", batch_size=32),
-        flow=FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3),
+        flow=FlowConfig(node_dim=14, num_couplings=12, gnn_hidden=128,
+                        gnn_rounds=3, message_mode="attention",
+                        use_actnorm=True),
         ae=AEConfig(embed_dim=14, feature_dim=14, gnn_hidden=128, gnn_rounds=4,
                     pos_weight=1.0),
-        train=TrainConfig(num_steps=5000),
+        train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
+                          checkpoint_every=20000, eval_every=20000),
     ),
     "protein": _preset(
         "protein",

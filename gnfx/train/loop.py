@@ -188,6 +188,7 @@ def train_flow(
     metrics: MetricsWriter | None = None,
     resume: bool = False,
     eval_data: Tuple[np.ndarray, np.ndarray] | None = None,
+    mesh=None,
 ) -> dict:
     """Maximum-likelihood training of the GNF on node embeddings (computed
     in-step from the frozen encoder when `ae_params` is given, else taken
@@ -237,8 +238,20 @@ def train_flow(
         adj, n_node, cfg.data.batch_size, tcfg.num_steps,
         seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
     )
+    if mesh is not None:
+        # data-parallel: batch sharded over the mesh's data axis, params
+        # replicated; the gradient all-reduce is jit's implicit psum
+        from gnfx.parallel.mesh import replicate, shard_batch
+
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
     eval_key = jax.random.fold_in(key, 2**20)
     for step, gb in zip(range(start_step, tcfg.num_steps), batches):
+        if mesh is not None:
+            from gnfx.parallel.mesh import shard_batch
+
+            gb = shard_batch(gb, mesh)
         params, opt_state, loss, aux = step_fn(
             params, opt_state, gb, jax.random.fold_in(key, step)
         )

@@ -82,18 +82,55 @@ def main(argv):
                     {"ae": ae_params, "flow": flow_params},
                     meta={"preset": cfg.name})
 
-    # Sampling + MMD eval
-    t0 = time.time()
+    # Temperature selection on the TRAIN split (cheap degree+clustering MMD),
+    # then final sampling + full MMD eval against the held-out test split.
     size_dist = empirical_size_distribution(n_tr, max_nodes)
+    from gnfx.eval.mmd import clustering_stats, degree_stats
+
+    best_temp, best_score = 1.0, float("inf")
+    for temp in (1.0, 0.9, 0.8, 0.7):
+        probe = sample_graphs(
+            flow_params, cfg.flow, cfg.ae, 64, size_dist, max_nodes,
+            seed=cfg.train.seed + 100, batch_size=cfg.data.batch_size,
+            temperature=temp,
+        )
+        score = degree_stats(train_graphs, probe) + clustering_stats(
+            train_graphs, probe
+        )
+        print(f"[gnfx] temp {temp}: train-split MMD score {score:.3f}", flush=True)
+        if score < best_score:
+            best_temp, best_score = temp, score
+
+    t0 = time.time()
     num_samples = max(len(test_graphs) * 4, 64)
     sampled = sample_graphs(
         flow_params, cfg.flow, cfg.ae, num_samples, size_dist, max_nodes,
         seed=cfg.train.seed, batch_size=cfg.data.batch_size,
+        temperature=best_temp,
     )
     sample_time = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
     results["graphs_per_s"] = num_samples / sample_time
     results["num_samples"] = num_samples
+    results["sample_temperature"] = best_temp
+
+    # importance-weighted held-out NLL of full graphs (particle-sharded
+    # IWAE over the device mesh — BASELINE "held-out NLL" metric)
+    try:
+        from gnfx.graph import batch_from_dense
+        from gnfx.parallel.mesh import make_mesh
+        from gnfx.parallel.smc import heldout_nll_iwae
+
+        mesh = make_mesh()
+        n_eval = min(8, adj_te.shape[0])
+        egb = batch_from_dense(adj_te[:n_eval], n_te[:n_eval])
+        particles = 64 * mesh.shape["data"]
+        nlls = heldout_nll_iwae(flow_params, ae_params, cfg.flow, cfg.ae,
+                                egb, particles, jax.random.PRNGKey(5), mesh)
+        results["heldout_graph_nll_iwae"] = float(np.mean(np.asarray(nlls)))
+        results["iwae_particles"] = particles
+    except Exception as e:  # eval is auxiliary; never fail the run
+        results["heldout_graph_nll_iwae_error"] = f"{type(e).__name__}: {e}"[:200]
     metrics.write(cfg.train.num_steps, stage="final", **results)
     with open(os.path.join(run_dir, "results.json"), "w") as f:
         json.dump({"config": to_dict(cfg), "results": results}, f, indent=2)
