@@ -32,14 +32,20 @@ from gnfx.models.flow import FlowConfig
 
 def _flatten_gnn_params(p: dict) -> list:
     """Deterministic flat order: embed w,b | per round (msg w0,b0,w1,b1,
-    upd w0,b0,w1,b1) | out w,b."""
-    flat = [p["embed"]["w"][0], p["embed"]["b"][0]]
+    upd w0,b0,w1,b1) | out w,b. Biases are reshaped to [1, H]: TPU Pallas
+    requires the last two block dims to divide (8, 128) or equal the array
+    dims, which a 1-D bias violates."""
+
+    def b2d(b):
+        return b.reshape(1, -1)
+
+    flat = [p["embed"]["w"][0], b2d(p["embed"]["b"][0])]
     for rnd in p["rounds"]:
-        flat += [rnd["msg"]["w"][0], rnd["msg"]["b"][0],
-                 rnd["msg"]["w"][1], rnd["msg"]["b"][1]]
-        flat += [rnd["upd"]["w"][0], rnd["upd"]["b"][0],
-                 rnd["upd"]["w"][1], rnd["upd"]["b"][1]]
-    flat += [p["out"]["w"][0], p["out"]["b"][0]]
+        flat += [rnd["msg"]["w"][0], b2d(rnd["msg"]["b"][0]),
+                 rnd["msg"]["w"][1], b2d(rnd["msg"]["b"][1])]
+        flat += [rnd["upd"]["w"][0], b2d(rnd["upd"]["b"][0]),
+                 rnd["upd"]["w"][1], b2d(rnd["upd"]["b"][1])]
+    flat += [p["out"]["w"][0], b2d(p["out"]["b"][0])]
     return flat
 
 
@@ -91,7 +97,7 @@ def _coupling_kernel(cfg: FlowConfig, n_f1: int, x_ref, adj_ref, mask_ref,
     half = cfg.half_dim
     x = x_ref[0]                     # [N, D]
     adj = adj_ref[0]                 # [N, N]
-    mask = mask_ref[0][:, None]      # [N, 1]
+    mask = mask_ref[0]               # [N, 1] (mask passed as [B, N, 1])
     deg = jnp.sum(adj, axis=0)[:, None]          # in-degree (receivers)
     if cfg.aggregation == "mean":
         deg_inv = 1.0 / jnp.maximum(deg, 1.0)
@@ -110,7 +116,10 @@ def _coupling_kernel(cfg: FlowConfig, n_f1: int, x_ref, adj_ref, mask_ref,
     s2, t2 = st(f2_params, z1)
     z0 = (x0 * jnp.exp(s2) + t2) * mask
     z_ref[0] = jnp.concatenate([z0, z1], axis=-1)
-    ld_ref[0, 0] = jnp.sum((s1 + s2) * mask)
+    # scalar log-det broadcast across one VMEM lane row (TPU block rules
+    # forbid a (1, 1) block of a [B, 1] array; [B, 128] with a full row is
+    # the cheap conforming layout — caller reads column 0)
+    ld_ref[0] = jnp.full((128,), jnp.sum((s1 + s2) * mask), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -138,7 +147,7 @@ def fused_coupling_forward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max_n, max_n), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max_n), lambda b: (b, 0),
+            pl.BlockSpec((1, max_n, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             *[param_spec(p) for p in f1],
             *[param_spec(p) for p in f2],
@@ -146,7 +155,7 @@ def fused_coupling_forward(
         out_specs=[
             pl.BlockSpec((1, max_n, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
     )
     z, ld = pl.pallas_call(
@@ -154,10 +163,10 @@ def fused_coupling_forward(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, max_n, d), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(x, graph.adj, graph.node_mask, *f1, *f2)
+    )(x, graph.adj, graph.node_mask[..., None], *f1, *f2)
     return z, ld[:, 0]
 
 

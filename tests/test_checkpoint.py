@@ -60,3 +60,44 @@ def test_data_stream_fast_forward_determinism():
     for a, b in zip(full[5:], tail):
         np.testing.assert_array_equal(np.asarray(a.adj), np.asarray(b.adj))
         np.testing.assert_array_equal(np.asarray(a.n_node), np.asarray(b.n_node))
+
+
+def test_resume_continuity(tmp_path):
+    """Fault injection (SURVEY.md §5): kill training mid-run, restart from
+    the checkpoint, and the final params must equal an uninterrupted run
+    (deterministic data stream + saved optimizer state)."""
+    import dataclasses
+    import jax
+
+    from gnfx.config import PRESETS
+    from gnfx.data import create_dataset, dataset_to_arrays
+    from gnfx.train.loop import train_flow
+
+    base = PRESETS["smoke"]
+    graphs, _, max_n = create_dataset("community-small", num_graphs=20)
+    adj, n_node = dataset_to_arrays(graphs, max_n)
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(adj.shape[0], max_n, 6)).astype(np.float32)
+
+    def cfg_for(num_steps, ckpt_dir):
+        return dataclasses.replace(
+            base,
+            flow=dataclasses.replace(base.flow, num_couplings=2, gnn_hidden=8,
+                                     gnn_rounds=1),
+            data=dataclasses.replace(base.data, batch_size=4),
+            train=dataclasses.replace(base.train, num_steps=num_steps,
+                                      checkpoint_every=10, eval_every=10**9,
+                                      checkpoint_dir=ckpt_dir),
+        )
+
+    # uninterrupted 20-step run
+    p_full = train_flow(cfg_for(20, str(tmp_path / "a")), adj, n_node, None,
+                        embeddings=feats)
+    # interrupted: 10 steps (checkpoint written at 10), then resume to 20
+    train_flow(cfg_for(10, str(tmp_path / "b")), adj, n_node, None,
+               embeddings=feats)
+    p_resumed = train_flow(cfg_for(20, str(tmp_path / "b")), adj, n_node, None,
+                           embeddings=feats, resume=True)
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
