@@ -116,10 +116,9 @@ def _coupling_kernel(cfg: FlowConfig, n_f1: int, x_ref, adj_ref, mask_ref,
     s2, t2 = st(f2_params, z1)
     z0 = (x0 * jnp.exp(s2) + t2) * mask
     z_ref[0] = jnp.concatenate([z0, z1], axis=-1)
-    # scalar log-det broadcast across one VMEM lane row (TPU block rules
-    # forbid a (1, 1) block of a [B, 1] array; [B, 128] with a full row is
-    # the cheap conforming layout — caller reads column 0)
-    ld_ref[0] = jnp.full((128,), jnp.sum((s1 + s2) * mask), jnp.float32)
+    # scalar log-det broadcast across one full (8, 128) VMEM tile — the
+    # smallest f32 block shape TPU lowering accepts; caller reads [0, 0]
+    ld_ref[0] = jnp.full((8, 128), jnp.sum((s1 + s2) * mask), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -155,7 +154,8 @@ def fused_coupling_forward(
         out_specs=[
             pl.BlockSpec((1, max_n, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
     z, ld = pl.pallas_call(
@@ -163,11 +163,11 @@ def fused_coupling_forward(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, max_n, d), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(x, graph.adj, graph.node_mask[..., None], *f1, *f2)
-    return z, ld[:, 0]
+    return z, ld[:, 0, 0]
 
 
 def flow_forward_fused(

@@ -40,7 +40,6 @@ def main(argv):
 
     run_dir = os.path.join("runs", cfg.name)
     os.makedirs(run_dir, exist_ok=True)
-    cfg = cfg  # checkpoint dir under the run dir
     from dataclasses import replace
     cfg = replace(cfg, train=replace(cfg.train,
                                      checkpoint_dir=os.path.join(run_dir, "ckpt")))
