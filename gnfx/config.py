@@ -102,7 +102,8 @@ PRESETS: dict[str, ExperimentConfig] = {
         "protein",
         data=DataConfig(dataset="protein", batch_size=8),
         flow=FlowConfig(
-            node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3,
+            node_dim=14, num_couplings=12, gnn_hidden=128, gnn_rounds=3,
+            message_mode="attention", use_actnorm=True,
             compute_dtype="bfloat16",
         ),
         ae=AEConfig(embed_dim=14, feature_dim=14, train_steps=5000),

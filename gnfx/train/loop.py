@@ -88,6 +88,11 @@ def train_autoencoder(
     for step, gb in enumerate(batches):
         k = jax.random.fold_in(key, step)
         params, opt_state, loss, aux = step_fn(params, opt_state, gb, k)
+        if step % 50 == 0:
+            # bound the async dispatch queue: without a periodic sync the
+            # host-side buffers of in-flight steps accumulate (observed
+            # 128 GB RSS OOM at protein scale)
+            loss.block_until_ready()
         if metrics is not None and (step % cfg.train.log_every == 0
                                     or step == acfg.train_steps - 1):
             metrics.write(step, stage="ae", bce=loss, **aux)
@@ -255,6 +260,8 @@ def train_flow(
         params, opt_state, loss, aux = step_fn(
             params, opt_state, gb, jax.random.fold_in(key, step)
         )
+        if step % 50 == 0:
+            loss.block_until_ready()  # bound the dispatch queue (see AE loop)
         last_step = step == tcfg.num_steps - 1
         if metrics is not None and (step % tcfg.log_every == 0 or last_step):
             metrics.write(step, stage="flow", nll_per_dim=loss, **aux)
