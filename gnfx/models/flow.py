@@ -42,6 +42,7 @@ class FlowConfig:
     gnn_rounds: int = 3
     aggregation: str = "mean"
     message_mode: str = "sender"
+    gnn_global: bool = False      # per-graph global-context channel in s/t GNNs
     s_cap: float = 3.0            # soft clamp on log-scales
     compute_dtype: str = "float32"
     # "affine": z¹ = x¹·exp(s)+t (exact non-zero log-det, density estimation)
@@ -75,6 +76,7 @@ class FlowConfig:
             num_rounds=self.gnn_rounds,
             aggregation=self.aggregation,  # type: ignore[arg-type]
             message_mode=self.message_mode,  # type: ignore[arg-type]
+            use_global=self.gnn_global,
             zero_init_out=True,
             compute_dtype=self.compute_dtype,
         )

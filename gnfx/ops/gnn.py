@@ -46,6 +46,12 @@ class GNNConfig:
     aggregation: Literal["mean", "sum"] = "mean"
     message_mode: Literal["sender", "pairwise", "attention"] = "sender"
     attn_dim: int = 32           # q/k width for attention messages
+    # concat a per-graph global context (masked mean of h) into every node
+    # update — the graph_nets "globals" channel (SURVEY.md §2.1 #2). Gives
+    # generation-time flows a coordination channel for global structure
+    # (e.g. how many clusters a graph has), which purely local messages
+    # cannot express over the fully-connected graph.
+    use_global: bool = False
     msg_layers: int = 2          # depth of the message MLP (sender mode)
     upd_layers: int = 2          # depth of the update MLP
     residual: bool = True
@@ -76,7 +82,8 @@ def init_gnn(key: jax.Array, cfg: GNNConfig) -> dict:
                 "w_recv": init_mlp(k2, [H, H])["w"][0],
                 "b": jnp.zeros((H,), jnp.float32),
             }
-        upd = init_mlp(ku, [2 * H] + [H] * (cfg.upd_layers - 1) + [H])
+        upd_in = (3 if cfg.use_global else 2) * H
+        upd = init_mlp(ku, [upd_in] + [H] * (cfg.upd_layers - 1) + [H])
         rounds.append({"msg": msg, "upd": upd})
     return {
         "embed": init_mlp(k_embed, [cfg.in_dim, H]),
@@ -176,7 +183,15 @@ def apply_gnn(params: dict, cfg: GNNConfig, x: jax.Array, graph: GraphBatch) -> 
                 preferred_element_type=jnp.float32,
             )
         agg = agg / norm
-        upd_in = jnp.concatenate([h, agg], axis=-1)
+        if cfg.use_global:
+            denom = jnp.maximum(
+                jnp.sum(graph.node_mask, axis=1, keepdims=True), 1.0
+            )[..., None]
+            gctx = jnp.sum(h * mask, axis=1, keepdims=True) / denom
+            gctx = jnp.broadcast_to(gctx, h.shape)
+            upd_in = jnp.concatenate([h, agg, gctx], axis=-1)
+        else:
+            upd_in = jnp.concatenate([h, agg], axis=-1)
         out = apply_mlp(rnd["upd"], upd_in, compute_dtype=dtype)
         h = (h + out) if cfg.residual else out
         h = h * mask

@@ -94,3 +94,31 @@ def test_zero_init_out_is_zero_map():
     gb, x = _random_batch(jax.random.PRNGKey(7), bsz=2, max_n=6, dim=4)
     y = apply_gnn(params, cfg, x, gb)
     assert np.all(np.asarray(y) == 0)
+
+
+def test_global_context_equivariant_and_padding_safe():
+    """The per-graph global channel must keep equivariance and padding
+    invariance (masked mean)."""
+    cfg = GNNConfig(in_dim=6, hidden_dim=16, out_dim=4, num_rounds=2,
+                    use_global=True)
+    params = init_gnn(jax.random.PRNGKey(20), cfg)
+    gb, x = _random_batch(jax.random.PRNGKey(21), bsz=2, max_n=8)
+    y = apply_gnn(params, cfg, x, gb)
+    # permutation within real prefix
+    rng = np.random.default_rng(2)
+    b, n = 0, int(gb.n_node[0])
+    perm = np.arange(8)
+    perm[:n] = rng.permutation(n)
+    xp = x.at[b].set(x[b][perm])
+    adjp = gb.adj.at[b].set(gb.adj[b][perm][:, perm])
+    yp = apply_gnn(params, cfg, xp, gb.replace(adj=adjp))
+    np.testing.assert_allclose(np.asarray(yp[b]), np.asarray(y[b][perm]),
+                               atol=1e-4)
+    # padding invariance
+    pad = 4
+    adj_w = jnp.pad(gb.adj, ((0, 0), (0, pad), (0, pad)))
+    x_w = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    from gnfx.graph import batch_from_dense
+    gb_w = batch_from_dense(adj_w, gb.n_node, x_w)
+    y_w = apply_gnn(params, cfg, x_w, gb_w)
+    np.testing.assert_allclose(np.asarray(y_w[:, :8]), np.asarray(y), atol=1e-5)
