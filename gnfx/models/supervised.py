@@ -120,11 +120,15 @@ def train_supervised(
     )
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state):
+    # graph/labels/masks are jit ARGUMENTS, not closures: closing over a
+    # full-size citation graph bakes it into the executable as a constant
+    # (a Pubmed-scale adjacency made the compile payload exceed the remote
+    # compiler's request limit)
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+    def step(params, opt_state, graph, labels, train_mask):
         def loss_fn(p):
             logits = forward(p, cfg, graph)
-            return masked_ce(logits, labels, masks["train"]), logits
+            return masked_ce(logits, labels, train_mask), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -132,12 +136,15 @@ def train_supervised(
         return params, opt_state, loss, logits
 
     for i in range(cfg.num_steps):
-        params, opt_state, loss, logits = step(params, opt_state)
+        params, opt_state, loss, logits = step(params, opt_state, graph,
+                                               labels, masks["train"])
+        if i % 50 == 0:
+            loss.block_until_ready()  # bound the dispatch queue
         if metrics is not None and (i % log_every == 0 or i == cfg.num_steps - 1):
             metrics.write(i, stage="supervised", ce=loss,
                           val_acc=accuracy(logits, labels, masks["val"]))
 
-    logits = jax.jit(lambda p: forward(p, cfg, graph))(params)
+    logits = jax.jit(forward, static_argnums=(1,))(params, cfg, graph)
     final = {
         "train_acc": float(accuracy(logits, labels, masks["train"])),
         "val_acc": float(accuracy(logits, labels, masks["val"])),
@@ -167,18 +174,23 @@ def train_gnn_baseline(
     opt_state = tx.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state):
+    def step(params, opt_state, graph, labels, train_mask):
         def loss_fn(p):
             logits = apply_gnn(p, gcfg, graph.nodes, graph)
-            return masked_ce(logits, labels, masks["train"]), logits
+            return masked_ce(logits, labels, train_mask), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, logits
 
-    for _ in range(cfg.num_steps):
-        params, opt_state, loss, logits = step(params, opt_state)
-    logits = jax.jit(lambda p: apply_gnn(p, gcfg, graph.nodes, graph))(params)
+    for i in range(cfg.num_steps):
+        params, opt_state, loss, logits = step(params, opt_state, graph,
+                                               labels, masks["train"])
+        if i % 50 == 0:
+            loss.block_until_ready()
+    logits = jax.jit(
+        lambda p, g: apply_gnn(p, gcfg, g.nodes, g)
+    )(params, graph)
     return {
         "test_acc": float(accuracy(logits, labels, masks["test"])),
         "val_acc": float(accuracy(logits, labels, masks["val"])),
