@@ -28,16 +28,25 @@ from gnfx.train.checkpoint import restore_checkpoint
 
 def main(argv):
     preset = "community-small"
-    num_samples, seed = None, 0
+    num_samples, seed, temperature = None, 0, None
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
         elif a.startswith("seed="):
             seed = int(a.split("=")[1])
+        elif a.startswith("temperature="):
+            temperature = float(a.split("=")[1])
         elif "=" not in a:
             preset = a
     cfg = PRESETS[preset]
     run_dir = os.path.join("runs", cfg.name)
+    if temperature is None:
+        # default to the train-split-selected temperature of the run
+        try:
+            with open(os.path.join(run_dir, "results.json")) as f:
+                temperature = json.load(f)["results"].get("sample_temperature", 1.0)
+        except Exception:
+            temperature = 1.0
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -55,12 +64,13 @@ def main(argv):
 
     t0 = time.time()
     sampled = sample_graphs(params["flow"], cfg.flow, cfg.ae, n, size_dist,
-                            max_nodes, seed=seed,
+                            max_nodes, seed=seed, temperature=temperature,
                             batch_size=cfg.data.batch_size)
     dt = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
     results["graphs_per_s"] = n / dt
     results["num_samples"] = n
+    results["temperature"] = temperature
     print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
     return results
 
