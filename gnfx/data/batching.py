@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import jax
 import numpy as np
 
 from gnfx.graph import GraphBatch, batch_from_dense, networkx_to_arrays
@@ -50,6 +51,19 @@ def batch_iterator(
         )
 
 
+def _step_indices(step: int, num: int, batch_size: int, seed: int) -> np.ndarray:
+    """Graph indices for one training step — a pure function of (seed, step)
+    so data order is reproducible for checkpoint-exact resume."""
+    per_epoch = max(1, num // batch_size)
+    epoch, pos = divmod(step, per_epoch)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    perm = rng.permutation(num)
+    idx = perm[pos * batch_size : (pos + 1) * batch_size]
+    if len(idx) < batch_size:  # pad the tail by wrapping
+        idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+    return idx
+
+
 def repeat_batches(
     adj: np.ndarray,
     n_node: np.ndarray,
@@ -64,14 +78,42 @@ def repeat_batches(
     epochs. `start_step` fast-forwards after checkpoint resume: the stream is
     a pure function of (seed, step)."""
     num = adj.shape[0]
-    per_epoch = max(1, num // batch_size)
     for step in range(start_step, num_steps):
-        epoch, pos = divmod(step, per_epoch)
-        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-        perm = rng.permutation(num)
-        idx = perm[pos * batch_size : (pos + 1) * batch_size]
-        if len(idx) < batch_size:  # pad the tail by wrapping
-            idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+        idx = _step_indices(step, num, batch_size, seed)
         yield batch_from_dense(
             adj[idx], n_node[idx], None if nodes is None else nodes[idx]
         )
+
+
+def stacked_repeat_batches(
+    adj: np.ndarray,
+    n_node: np.ndarray,
+    batch_size: int,
+    num_steps: int,
+    chunk: int,
+    *,
+    seed: int = 0,
+    start_step: int = 0,
+    nodes: np.ndarray | None = None,
+) -> Iterator[tuple[np.ndarray, GraphBatch]]:
+    """Chunked variant of `repeat_batches` for scan-over-steps training:
+    yields (steps i32[K], GraphBatch stacked to [K, B, ...]) covering the
+    same per-step batches in the same order (step k of a chunk equals the
+    k-th batch `repeat_batches` would yield). The final chunk may be
+    shorter. One host->device transfer per K steps instead of per step —
+    the training loop scans the K leading slices inside a single jit call
+    (dispatch latency amortised; SURVEY.md §3a hot loop)."""
+    num = adj.shape[0]
+    step = start_step
+    while step < num_steps:
+        k = min(chunk, num_steps - step)
+        steps = np.arange(step, step + k, dtype=np.int32)
+        idx = np.stack([_step_indices(s, num, batch_size, seed) for s in steps])
+        flat = idx.reshape(-1)
+        gb = batch_from_dense(
+            adj[flat], n_node[flat], None if nodes is None else nodes[flat]
+        )
+        yield steps, jax.tree.map(
+            lambda x: x.reshape(k, batch_size, *x.shape[1:]), gb
+        )
+        step += k

@@ -36,9 +36,12 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, ("data", "model"))
 
 
-def shard_batch(gb: GraphBatch, mesh: Mesh) -> GraphBatch:
-    """Shard every field's leading (batch) axis over the data axis."""
-    s = NamedSharding(mesh, P("data"))
+def shard_batch(gb: GraphBatch, mesh: Mesh, *, stacked: bool = False) -> GraphBatch:
+    """Shard every field's batch axis over the data axis. With
+    ``stacked=True`` the fields are [K, B, ...] scan-over-steps chunks:
+    the step axis K is replicated (every device scans all K steps) and the
+    batch axis B is sharded."""
+    s = NamedSharding(mesh, P(None, "data") if stacked else P("data"))
     return jax.tree.map(lambda x: jax.device_put(x, s), gb)
 
 

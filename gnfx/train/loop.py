@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from gnfx.config import ExperimentConfig
-from gnfx.data.batching import repeat_batches
+from gnfx.data.batching import repeat_batches, stacked_repeat_batches
 from gnfx.graph import GraphBatch, batch_from_dense
 from gnfx.models import autoencoder as ae
 from gnfx.models.flow import FlowConfig, init_flow, log_prob
@@ -53,8 +53,7 @@ def make_optimizer(lr: float, warmup: int, grad_clip: float, num_steps: int,
 def make_ae_step(cfg: ExperimentConfig, tx: optax.GradientTransformation):
     acfg = cfg.ae
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, graph: GraphBatch, key):
+    def one_step(params, opt_state, graph: GraphBatch, key):
         feats = ae.random_node_features(key, graph, acfg.feature_dim)
 
         def loss_fn(p):
@@ -65,7 +64,7 @@ def make_ae_step(cfg: ExperimentConfig, tx: optax.GradientTransformation):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    return step
+    return jax.jit(one_step, donate_argnums=(0, 1)), one_step
 
 
 def train_autoencoder(
@@ -81,21 +80,27 @@ def train_autoencoder(
     tx = make_optimizer(acfg.lr, cfg.train.lr_warmup, cfg.train.grad_clip,
                         acfg.train_steps)
     opt_state = tx.init(params)
-    step_fn = make_ae_step(cfg, tx)
+    _, one_step = make_ae_step(cfg, tx)
+    multi_step = make_multi_step(one_step, key)
 
-    batches = repeat_batches(adj, n_node, cfg.data.batch_size, acfg.train_steps,
-                             seed=cfg.data.seed)
-    for step, gb in enumerate(batches):
-        k = jax.random.fold_in(key, step)
-        params, opt_state, loss, aux = step_fn(params, opt_state, gb, k)
-        if step % 50 == 0:
-            # bound the async dispatch queue: without a periodic sync the
-            # host-side buffers of in-flight steps accumulate (observed
-            # 128 GB RSS OOM at protein scale)
-            loss.block_until_ready()
-        if metrics is not None and (step % cfg.train.log_every == 0
-                                    or step == acfg.train_steps - 1):
-            metrics.write(step, stage="ae", bce=loss, **aux)
+    chunk = max(1, cfg.train.steps_per_call)
+    batches = stacked_repeat_batches(adj, n_node, cfg.data.batch_size,
+                                     acfg.train_steps, chunk,
+                                     seed=cfg.data.seed)
+    for steps, gb in batches:
+        params, opt_state, losses, auxes = multi_step(
+            params, opt_state, gb, jnp.asarray(steps)
+        )
+        # fetching per-step metrics syncs once per chunk — this also bounds
+        # the async dispatch queue (unbounded queues were observed to
+        # accumulate 128 GB of host-side buffers at protein scale)
+        losses = np.asarray(losses)
+        auxes = {k: np.asarray(v) for k, v in auxes.items()}
+        if metrics is not None:
+            for j, s in enumerate(steps):
+                if s % cfg.train.log_every == 0 or s == acfg.train_steps - 1:
+                    metrics.write(int(s), stage="ae", bce=losses[j],
+                                  **{k: v[j] for k, v in auxes.items()})
     return params
 
 
@@ -146,8 +151,7 @@ def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
         x = ae.encode(ae_params, acfg, feats, graph)
         return jax.lax.stop_gradient(x)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, graph: GraphBatch, key):
+    def one_step(params, opt_state, graph: GraphBatch, key):
         g = graph.fully_connected() if full_graph else graph
         x = embed(graph, key) if ae_params is not None else graph.nodes
 
@@ -165,7 +169,37 @@ def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
         gnorm = optax.global_norm(grads)
         return params, opt_state, loss, {**aux, "grad_norm": gnorm}
 
-    return step, embed
+    step = jax.jit(one_step, donate_argnums=(0, 1))
+    return step, embed, one_step
+
+
+def make_multi_step(one_step, base_key):
+    """Scan-over-steps training: K full optimizer steps in ONE jit call.
+
+    At the small shapes this framework targets (B=32, N=20) a single step
+    is dispatch-latency-bound, not compute-bound — per-call overhead through
+    the PJRT relay dwarfs device time. Scanning the step body over a stacked
+    [K, B, ...] batch chunk amortises dispatch across K steps while keeping
+    per-step semantics bit-identical to the unchunked loop: the same
+    `fold_in(base_key, step)` keys, the same data order (a pure function of
+    (seed, step)), the same optimizer-schedule counts. Returns per-step
+    (losses f32[K], aux dict of f32[K]) so logging stays exact."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, graphs: GraphBatch, steps):
+        def body(carry, inp):
+            params, opt_state = carry
+            gb, step_i = inp
+            key = jax.random.fold_in(base_key, step_i)
+            params, opt_state, loss, aux = one_step(params, opt_state, gb, key)
+            return (params, opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, opt_state), (graphs, steps)
+        )
+        return params, opt_state, losses, auxes
+
+    return multi_step
 
 
 def make_flow_eval(fcfg: FlowConfig, *, full_graph: bool, embed=None):
@@ -232,15 +266,17 @@ def train_flow(
             (params, opt_state), start_step = restore_checkpoint(
                 tcfg.checkpoint_dir, (params, opt_state)
             )
-    step_fn, embed = make_flow_step(fcfg, tx, full_graph=full_graph,
-                                    ae_params=ae_params, acfg=cfg.ae)
+    _, embed, one_step = make_flow_step(fcfg, tx, full_graph=full_graph,
+                                        ae_params=ae_params, acfg=cfg.ae)
+    multi_step = make_multi_step(one_step, key)
     eval_fn = make_flow_eval(
         fcfg, full_graph=full_graph,
         embed=embed if ae_params is not None else None,
     )
 
-    batches = repeat_batches(
-        adj, n_node, cfg.data.batch_size, tcfg.num_steps,
+    chunk = max(1, tcfg.steps_per_call)
+    batches = stacked_repeat_batches(
+        adj, n_node, cfg.data.batch_size, tcfg.num_steps, chunk,
         seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
     )
     if mesh is not None:
@@ -252,27 +288,34 @@ def train_flow(
         opt_state = replicate(opt_state, mesh)
 
     eval_key = jax.random.fold_in(key, 2**20)
-    for step, gb in zip(range(start_step, tcfg.num_steps), batches):
+    for steps, gb in batches:
         if mesh is not None:
-            from gnfx.parallel.mesh import shard_batch
-
-            gb = shard_batch(gb, mesh)
-        params, opt_state, loss, aux = step_fn(
-            params, opt_state, gb, jax.random.fold_in(key, step)
+            gb = shard_batch(gb, mesh, stacked=True)
+        params, opt_state, losses, auxes = multi_step(
+            params, opt_state, gb, jnp.asarray(steps)
         )
-        if step % 50 == 0:
-            loss.block_until_ready()  # bound the dispatch queue (see AE loop)
-        last_step = step == tcfg.num_steps - 1
-        if metrics is not None and (step % tcfg.log_every == 0 or last_step):
-            metrics.write(step, stage="flow", nll_per_dim=loss, **aux)
-        if (step % tcfg.eval_every == 0 or last_step) and eval_data is not None:
+        # fetching the per-step metric arrays syncs once per chunk, which
+        # also bounds the async dispatch queue (see AE loop)
+        losses = np.asarray(losses)
+        auxes = {k: np.asarray(v) for k, v in auxes.items()}
+        chunk_end = int(steps[-1]) + 1
+        last = chunk_end == tcfg.num_steps
+        if metrics is not None:
+            for j, s in enumerate(steps):
+                if s % tcfg.log_every == 0 or s == tcfg.num_steps - 1:
+                    metrics.write(int(s), stage="flow", nll_per_dim=losses[j],
+                                  **{k: v[j] for k, v in auxes.items()})
+        hit_eval = any(s % tcfg.eval_every == 0 for s in steps) or last
+        if hit_eval and eval_data is not None:
             e_adj, e_n = eval_data[0], eval_data[1]
             e_emb = eval_data[2] if len(eval_data) > 2 else None
             egb = batch_from_dense(e_adj, e_n, e_emb)
             nll_dim, nll_graph = eval_fn(params, egb, eval_key)
             if metrics is not None:
-                metrics.write(step, stage="eval", heldout_nll_per_dim=nll_dim,
+                metrics.write(chunk_end - 1, stage="eval",
+                              heldout_nll_per_dim=nll_dim,
                               heldout_nll_per_graph=nll_graph)
-        if step % tcfg.checkpoint_every == 0 and step > 0 or last_step:
-            save_checkpoint(tcfg.checkpoint_dir, step + 1, (params, opt_state))
+        hit_ckpt = any(s % tcfg.checkpoint_every == 0 and s > 0 for s in steps)
+        if hit_ckpt or last:
+            save_checkpoint(tcfg.checkpoint_dir, chunk_end, (params, opt_state))
     return params
