@@ -101,3 +101,63 @@ def test_resume_continuity(tmp_path):
     for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_resumed)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+def test_stacked_batches_match_per_step():
+    """stacked_repeat_batches chunk slices == repeat_batches per-step batches
+    (chunk size must not change the data a given step sees)."""
+    from gnfx.data.batching import stacked_repeat_batches
+
+    rng = np.random.default_rng(1)
+    adj = (rng.random((10, 6, 6)) < 0.3).astype(np.float32)
+    adj = np.triu(adj, 1)
+    adj = adj + adj.transpose(0, 2, 1)
+    n_node = rng.integers(3, 7, size=10).astype(np.int32)
+
+    per_step = list(repeat_batches(adj, n_node, 4, 11, seed=7))
+    chunked = list(stacked_repeat_batches(adj, n_node, 4, 11, 4, seed=7))
+    steps_seen = []
+    for steps, gb in chunked:
+        for j, s in enumerate(steps):
+            steps_seen.append(int(s))
+            np.testing.assert_array_equal(
+                np.asarray(gb.adj[j]), np.asarray(per_step[s].adj)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gb.n_node[j]), np.asarray(per_step[s].n_node)
+            )
+    assert steps_seen == list(range(11))  # ragged final chunk covered
+
+
+def test_chunk_size_invariance(tmp_path):
+    """Final params are identical whatever steps_per_call is — chunked
+    dispatch is a pure scheduling change, not a semantic one."""
+    import dataclasses
+    import jax
+
+    from gnfx.config import PRESETS
+    from gnfx.data import create_dataset, dataset_to_arrays
+    from gnfx.train.loop import train_flow
+
+    base = PRESETS["smoke"]
+    graphs, _, max_n = create_dataset("community-small", num_graphs=20)
+    adj, n_node = dataset_to_arrays(graphs, max_n)
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(adj.shape[0], max_n, 6)).astype(np.float32)
+
+    def run(k, d):
+        cfg = dataclasses.replace(
+            base,
+            flow=dataclasses.replace(base.flow, num_couplings=2, gnn_hidden=8,
+                                     gnn_rounds=1),
+            data=dataclasses.replace(base.data, batch_size=4),
+            train=dataclasses.replace(base.train, num_steps=14,
+                                      steps_per_call=k, checkpoint_every=10**9,
+                                      eval_every=10**9, checkpoint_dir=d),
+        )
+        return train_flow(cfg, adj, n_node, None, embeddings=feats)
+
+    p1 = run(1, str(tmp_path / "k1"))
+    p5 = run(5, str(tmp_path / "k5"))  # ragged final chunk (14 = 5+5+4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p5)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
