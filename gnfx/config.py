@@ -57,6 +57,9 @@ class TrainConfig:
     checkpoint_every: int = 1000
     checkpoint_dir: str = "checkpoints"
     eval_every: int = 1000
+    # >0: at every eval, sample this many graphs and log degree/clustering
+    # MMD vs the held-out split (generation-quality trajectory, not just NLL)
+    eval_samples: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,24 +89,29 @@ PRESETS: dict[str, ExperimentConfig] = {
     "community-small": _preset(
         "community-small",
         data=DataConfig(dataset="community-small", batch_size=32),
-        flow=FlowConfig(node_dim=14, num_couplings=12, gnn_hidden=128,
+        flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
                         gnn_rounds=3, message_mode="attention",
                         use_actnorm=True),
-        ae=AEConfig(embed_dim=14, feature_dim=14, gnn_hidden=128, gnn_rounds=4,
-                    pos_weight=1.0),
+        # AE settings from the reconstruction-ceiling sweep (see BASELINE.md):
+        # sharper decoder + wider embeddings + longer training drop the
+        # encode->decode MMD ceiling from 0.12/0.36/0.13 to ~0.05/0.12/0.05
+        ae=AEConfig(embed_dim=20, feature_dim=20, gnn_hidden=128, gnn_rounds=4,
+                    decoder_c=50.0, train_steps=20000, pos_weight=1.0),
         train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
-                          checkpoint_every=20000, eval_every=20000),
+                          checkpoint_every=20000, eval_every=20000,
+                          eval_samples=64),
     ),
     "ego-small": _preset(
         "ego-small",
         data=DataConfig(dataset="ego-small", batch_size=32),
-        flow=FlowConfig(node_dim=14, num_couplings=12, gnn_hidden=128,
+        flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
                         gnn_rounds=3, message_mode="attention",
                         use_actnorm=True),
-        ae=AEConfig(embed_dim=14, feature_dim=14, gnn_hidden=128, gnn_rounds=4,
-                    pos_weight=1.0),
+        ae=AEConfig(embed_dim=20, feature_dim=20, gnn_hidden=128, gnn_rounds=4,
+                    decoder_c=50.0, train_steps=20000, pos_weight=1.0),
         train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
-                          checkpoint_every=20000, eval_every=20000),
+                          checkpoint_every=20000, eval_every=20000,
+                          eval_samples=64),
     ),
     "protein": _preset(
         "protein",
@@ -114,7 +122,7 @@ PRESETS: dict[str, ExperimentConfig] = {
             compute_dtype="bfloat16",
         ),
         ae=AEConfig(embed_dim=14, feature_dim=14, train_steps=5000),
-        train=TrainConfig(num_steps=5000, steps_per_call=4),
+        train=TrainConfig(num_steps=5000, steps_per_call=4, eval_samples=16),
     ),
     "smoke": _preset(
         "smoke",

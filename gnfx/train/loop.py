@@ -228,6 +228,7 @@ def train_flow(
     resume: bool = False,
     eval_data: Tuple[np.ndarray, np.ndarray] | None = None,
     mesh=None,
+    on_eval=None,
 ) -> dict:
     """Maximum-likelihood training of the GNF on node embeddings (computed
     in-step from the frozen encoder when `ae_params` is given, else taken
@@ -306,6 +307,9 @@ def train_flow(
                     metrics.write(int(s), stage="flow", nll_per_dim=losses[j],
                                   **{k: v[j] for k, v in auxes.items()})
         hit_eval = any(s % tcfg.eval_every == 0 for s in steps) or last
+        if hit_eval and on_eval is not None:
+            # host-side probe hook (e.g. sampled-graph quality MMDs)
+            on_eval(chunk_end - 1, params)
         if hit_eval and eval_data is not None:
             e_adj, e_n = eval_data[0], eval_data[1]
             e_emb = eval_data[2] if len(eval_data) > 2 else None

@@ -68,10 +68,30 @@ def main(argv):
     # Stage 2: flow on in-step frozen-encoder embeddings (fresh random
     # encoder features every step — the flow models the embedding
     # distribution, not a finite set of points)
+    on_eval = None
+    if cfg.train.eval_samples > 0:
+        from gnfx.eval.mmd import clustering_stats as _cstats
+        from gnfx.eval.mmd import degree_stats as _dstats
+
+        probe_dist = empirical_size_distribution(n_tr, max_nodes)
+
+        def on_eval(step, flow_params):
+            probe = sample_graphs(
+                flow_params, cfg.flow, cfg.ae, cfg.train.eval_samples,
+                probe_dist, max_nodes, seed=777,
+                batch_size=cfg.data.batch_size,
+            )
+            metrics.write(
+                step, stage="quality",
+                mmd_degree=_dstats(test_graphs, probe),
+                mmd_clustering=_cstats(test_graphs, probe),
+                mean_edges=float(np.mean([g.number_of_edges() for g in probe])),
+            )
+
     t0 = time.time()
     flow_params = train_flow(
         cfg, adj_tr, n_tr, ae_params, full_graph=True, metrics=metrics,
-        resume=resume, eval_data=(adj_te, n_te),
+        resume=resume, eval_data=(adj_te, n_te), on_eval=on_eval,
     )
     print(f"[gnfx] stage-2 flow done in {time.time()-t0:.1f}s", flush=True)
 
@@ -87,7 +107,7 @@ def main(argv):
     from gnfx.eval.mmd import clustering_stats, degree_stats
 
     best_temp, best_score = 1.0, float("inf")
-    for temp in (1.0, 0.9, 0.8, 0.7):
+    for temp in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
         probe = sample_graphs(
             flow_params, cfg.flow, cfg.ae, 64, size_dist, max_nodes,
             seed=cfg.train.seed + 100, batch_size=cfg.data.batch_size,
