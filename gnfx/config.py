@@ -56,6 +56,9 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 1000
     checkpoint_dir: str = "checkpoints"
+    checkpoint_keep: int = 3        # retained checkpoints (long quality runs
+                                    # keep many, enabling best-step selection
+                                    # from the quality-probe trajectory)
     eval_every: int = 1000
     # >0: at every eval, sample this many graphs and log degree/clustering
     # MMD vs the held-out split (generation-quality trajectory, not just NLL)
@@ -99,7 +102,7 @@ PRESETS: dict[str, ExperimentConfig] = {
                     decoder_c=50.0, train_steps=20000, pos_weight=1.0),
         train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
                           checkpoint_every=20000, eval_every=20000,
-                          eval_samples=64),
+                          eval_samples=64, checkpoint_keep=100),
     ),
     "ego-small": _preset(
         "ego-small",
@@ -111,7 +114,7 @@ PRESETS: dict[str, ExperimentConfig] = {
                     decoder_c=50.0, train_steps=20000, pos_weight=1.0),
         train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
                           checkpoint_every=20000, eval_every=20000,
-                          eval_samples=64),
+                          eval_samples=64, checkpoint_keep=100),
     ),
     "protein": _preset(
         "protein",
@@ -139,6 +142,18 @@ PRESETS: dict[str, ExperimentConfig] = {
 # ---------------------------------------------------------------------------
 # (de)serialisation + CLI overrides
 # ---------------------------------------------------------------------------
+
+def from_dict(d: dict) -> ExperimentConfig:
+    """Inverse of `to_dict` — rebuild a config from a run's config.json."""
+    return ExperimentConfig(
+        name=d["name"],
+        data=DataConfig(**d["data"]),
+        flow=FlowConfig(**d["flow"]),
+        ae=AEConfig(**d["ae"]),
+        train=TrainConfig(**d["train"]),
+        dist=DistConfig(**d["dist"]),
+    )
+
 
 def to_dict(cfg: Any) -> Any:
     if dataclasses.is_dataclass(cfg):

@@ -321,5 +321,6 @@ def train_flow(
                               heldout_nll_per_graph=nll_graph)
         hit_ckpt = any(s % tcfg.checkpoint_every == 0 and s > 0 for s in steps)
         if hit_ckpt or last:
-            save_checkpoint(tcfg.checkpoint_dir, chunk_end, (params, opt_state))
+            save_checkpoint(tcfg.checkpoint_dir, chunk_end, (params, opt_state),
+                            keep=tcfg.checkpoint_keep)
     return params

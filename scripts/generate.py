@@ -1,11 +1,16 @@
 """Standalone generation + MMD eval from a trained run (SURVEY.md §3c/§3d).
 
 Usage:
-    python scripts/generate.py <preset> [num_samples=N] [seed=S]
+    python scripts/generate.py <run-or-preset> [num_samples=N] [seed=S]
+        [temperature=T] [step=K]
 
-Loads `runs/<preset>/params/` (written by train_gnf.py), samples graphs via
+Loads `runs/<name>/` (written by train_gnf.py; the run's own config.json is
+used when present, so named runs with overrides work), samples graphs via
 the inverse flow + edge decoder, and reports the MMD protocol against the
-held-out test split.
+held-out test split. `step=K` restores the flow from the mid-run checkpoint
+at step K instead of the end-of-run params — with the quality-probe
+trajectory in metrics.jsonl this turns one long run into a sweep over
+stopping points.
 """
 
 import json
@@ -28,7 +33,7 @@ from gnfx.train.checkpoint import restore_checkpoint
 
 def main(argv):
     preset = "community-small"
-    num_samples, seed, temperature = None, 0, None
+    num_samples, seed, temperature, step_sel = None, 0, None, None
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
@@ -36,10 +41,20 @@ def main(argv):
             seed = int(a.split("=")[1])
         elif a.startswith("temperature="):
             temperature = float(a.split("=")[1])
+        elif a.startswith("step="):
+            step_sel = int(a.split("=")[1])
         elif "=" not in a:
             preset = a
-    cfg = PRESETS[preset]
-    run_dir = os.path.join("runs", cfg.name)
+    run_dir = os.path.join("runs", preset)
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        from gnfx.config import from_dict
+
+        with open(cfg_path) as f:
+            cfg = from_dict(json.load(f))
+    else:
+        cfg = PRESETS[preset]
+        run_dir = os.path.join("runs", cfg.name)
     if temperature is None:
         # default to the train-split-selected temperature of the run
         try:
@@ -53,6 +68,19 @@ def main(argv):
         "flow": init_flow(jax.random.PRNGKey(0), cfg.flow),
     }
     params, step = restore_checkpoint(os.path.join(run_dir, "params"), template)
+    if step_sel is not None:
+        # mid-run flow checkpoint: (flow_params, opt_state) tuple; the AE
+        # stays the end-of-run one (it is frozen through stage 2 anyway)
+        from gnfx.train.loop import make_optimizer
+
+        tx = make_optimizer(cfg.train.lr, cfg.train.lr_warmup,
+                            cfg.train.grad_clip, cfg.train.num_steps,
+                            cfg.train.weight_decay)
+        ck_template = (params["flow"], tx.init(params["flow"]))
+        (flow_p, _), step = restore_checkpoint(
+            os.path.join(run_dir, "ckpt"), ck_template, step=step_sel
+        )
+        params = {"ae": params["ae"], "flow": flow_p}
     print(f"[gnfx] loaded params at step {step} from {run_dir}", flush=True)
 
     train_graphs, test_graphs, max_nodes = create_dataset(
