@@ -67,7 +67,16 @@ def main(argv):
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
         "flow": init_flow(jax.random.PRNGKey(0), cfg.flow),
     }
-    params, step = restore_checkpoint(os.path.join(run_dir, "params"), template)
+    try:
+        params, step = restore_checkpoint(os.path.join(run_dir, "params"),
+                                          template)
+    except FileNotFoundError:
+        # run still in stage 2: stage-1 AE snapshot + a flow checkpoint
+        if step_sel is None:
+            raise
+        ae_p, _ = restore_checkpoint(os.path.join(run_dir, "params_ae"),
+                                     {"ae": template["ae"]})
+        params, step = {"ae": ae_p["ae"], "flow": template["flow"]}, 0
     if step_sel is not None:
         # mid-run flow checkpoint: (flow_params, opt_state) tuple; the AE
         # stays the end-of-run one (it is frozen through stage 2 anyway)

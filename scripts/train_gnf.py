@@ -61,9 +61,22 @@ def main(argv):
     metrics = MetricsWriter(os.path.join(run_dir, "metrics.jsonl"), resume=resume)
 
     # Stage 1: auto-encoder
+    from gnfx.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    ae_dir = os.path.join(run_dir, "params_ae")
     t0 = time.time()
-    ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics)
-    print(f"[gnfx] stage-1 AE done in {time.time()-t0:.1f}s", flush=True)
+    if resume and os.path.isdir(ae_dir):
+        from gnfx.models import autoencoder as _ae
+
+        template = {"ae": _ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)}
+        ae_params = restore_checkpoint(ae_dir, template)[0]["ae"]
+        print(f"[gnfx] stage-1 AE restored from {ae_dir}", flush=True)
+    else:
+        ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics)
+        # persist immediately: restarts resume stage 2 without retraining the
+        # AE, and mid-run generation/eval (generate.py step=K) can decode
+        save_checkpoint(ae_dir, cfg.ae.train_steps, {"ae": ae_params})
+        print(f"[gnfx] stage-1 AE done in {time.time()-t0:.1f}s", flush=True)
 
     # Stage 2: flow on in-step frozen-encoder embeddings (fresh random
     # encoder features every step — the flow models the embedding
@@ -76,17 +89,23 @@ def main(argv):
         probe_dist = empirical_size_distribution(n_tr, max_nodes)
 
         def on_eval(step, flow_params):
-            probe = sample_graphs(
-                flow_params, cfg.flow, cfg.ae, cfg.train.eval_samples,
-                probe_dist, max_nodes, seed=777,
-                batch_size=cfg.data.batch_size,
-            )
-            metrics.write(
-                step, stage="quality",
-                mmd_degree=_dstats(test_graphs, probe),
-                mmd_clustering=_cstats(test_graphs, probe),
-                mean_edges=float(np.mean([g.number_of_edges() for g in probe])),
-            )
+            # quality is strongly temperature-dependent (sharp decoders make
+            # edge formation sensitive to embedding spread), so probe a small
+            # temperature grid and log each point
+            for temp in (1.0, 0.8, 0.6):
+                probe = sample_graphs(
+                    flow_params, cfg.flow, cfg.ae, cfg.train.eval_samples,
+                    probe_dist, max_nodes, seed=777,
+                    batch_size=cfg.data.batch_size, temperature=temp,
+                )
+                metrics.write(
+                    step, stage="quality", temperature=temp,
+                    mmd_degree=_dstats(test_graphs, probe),
+                    mmd_clustering=_cstats(test_graphs, probe),
+                    mean_edges=float(
+                        np.mean([g.number_of_edges() for g in probe])
+                    ),
+                )
 
     t0 = time.time()
     flow_params = train_flow(
