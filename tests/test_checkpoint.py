@@ -161,3 +161,15 @@ def test_chunk_size_invariance(tmp_path):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p5)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_config_round_trip():
+    """from_dict(to_dict(cfg)) == cfg for every preset (generate.py relies
+    on rebuilding configs from a run's config.json)."""
+    import json
+
+    from gnfx.config import PRESETS, from_dict, to_dict
+
+    for name, cfg in PRESETS.items():
+        rebuilt = from_dict(json.loads(json.dumps(to_dict(cfg))))
+        assert rebuilt == cfg, name
