@@ -99,12 +99,16 @@ def reconstruction_loss(
     return loss, {"edge_acc": correct, "edge_precision": prec, "edge_recall": rec}
 
 
-def decode_to_adjacency(x: jax.Array, cfg: AEConfig, graph: GraphBatch) -> jax.Array:
-    """Hard symmetric adjacency from embeddings: threshold Â at 0.5 on real
-    pairs (SURVEY.md §3c)."""
+def decode_to_adjacency(
+    x: jax.Array, cfg: AEConfig, graph: GraphBatch, threshold: float = 0.5
+) -> jax.Array:
+    """Hard symmetric adjacency from embeddings: threshold Â on real pairs
+    (SURVEY.md §3c; 0.5 is the reference's rule — the sampler may select the
+    threshold on the train split as a generation hyperparameter alongside
+    temperature, which calibrates edge density)."""
     probs = decode_edges(x, cfg)
     pair = graph.node_mask[:, :, None] * graph.node_mask[:, None, :]
     eye = jnp.eye(graph.max_nodes)[None]
-    hard = (probs > 0.5).astype(jnp.float32) * pair * (1.0 - eye)
+    hard = (probs > threshold).astype(jnp.float32) * pair * (1.0 - eye)
     # symmetrise (decoder is symmetric by construction, but be safe)
     return jnp.maximum(hard, jnp.transpose(hard, (0, 2, 1)))

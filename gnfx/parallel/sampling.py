@@ -34,6 +34,8 @@ def sample_graphs_sharded(
     seed: int = 0,
     per_device_batch: int = 64,
     min_nodes: int = 2,
+    temperature: float = 1.0,
+    threshold: float = 0.5,
 ) -> List:
     """Generate `num_samples` graphs with the batch sharded over the mesh's
     data axis. Sizes are drawn on the host from the empirical distribution;
@@ -59,7 +61,7 @@ def sample_graphs_sharded(
         n_node = jax.device_put(jnp.asarray(chunk_p), batch_sharding)
         adj = sample_batch_device(
             flow_params, fcfg, acfg, jax.random.fold_in(key, start),
-            n_node, max_nodes,
+            n_node, max_nodes, temperature, threshold,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         out.extend(arrays_to_networkx(adj_np, chunk))

@@ -24,7 +24,8 @@ from gnfx.models.flow import FlowConfig, flow_inverse
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fcfg", "acfg", "max_nodes", "temperature"))
+                   static_argnames=("fcfg", "acfg", "max_nodes", "temperature",
+                                    "threshold"))
 def sample_batch_device(
     flow_params: dict,
     fcfg: FlowConfig,
@@ -33,6 +34,7 @@ def sample_batch_device(
     n_node: jax.Array,
     max_nodes: int,
     temperature: float = 1.0,
+    threshold: float = 0.5,
 ) -> jax.Array:
     """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N]."""
     bsz = n_node.shape[0]
@@ -42,7 +44,7 @@ def sample_batch_device(
                     node_mask=mask, n_node=n_node).fully_connected()
     z = temperature * jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
-    return ae.decode_to_adjacency(x, acfg, gb)
+    return ae.decode_to_adjacency(x, acfg, gb, threshold)
 
 
 def sample_graphs(
@@ -57,6 +59,7 @@ def sample_graphs(
     batch_size: int = 64,
     min_nodes: int = 2,
     temperature: float = 1.0,
+    threshold: float = 0.5,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -71,7 +74,7 @@ def sample_graphs(
         chunk_p = np.concatenate([chunk, np.full(pad, min_nodes, np.int32)]) if pad else chunk
         adj = sample_batch_device(
             flow_params, fcfg, acfg, jax.random.fold_in(key, start),
-            jnp.asarray(chunk_p), max_nodes, temperature,
+            jnp.asarray(chunk_p), max_nodes, temperature, threshold,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         out.extend(arrays_to_networkx(adj_np, chunk))

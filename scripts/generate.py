@@ -33,7 +33,7 @@ from gnfx.train.checkpoint import restore_checkpoint
 
 def main(argv):
     preset = "community-small"
-    num_samples, seed, temperature, step_sel = None, 0, None, None
+    num_samples, seed, temperature, step_sel, threshold = None, 0, None, None, None
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
@@ -43,6 +43,8 @@ def main(argv):
             temperature = float(a.split("=")[1])
         elif a.startswith("step="):
             step_sel = int(a.split("=")[1])
+        elif a.startswith("threshold="):
+            threshold = float(a.split("=")[1])
         elif "=" not in a:
             preset = a
     run_dir = os.path.join("runs", preset)
@@ -55,13 +57,17 @@ def main(argv):
     else:
         cfg = PRESETS[preset]
         run_dir = os.path.join("runs", cfg.name)
-    if temperature is None:
-        # default to the train-split-selected temperature of the run
+    if temperature is None or threshold is None:
+        # default to the run's train-split-selected sampling hyperparameters
         try:
             with open(os.path.join(run_dir, "results.json")) as f:
-                temperature = json.load(f)["results"].get("sample_temperature", 1.0)
+                res = json.load(f)["results"]
         except Exception:
-            temperature = 1.0
+            res = {}
+        if temperature is None:
+            temperature = res.get("sample_temperature", 1.0)
+        if threshold is None:
+            threshold = res.get("sample_threshold", 0.5)
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -102,12 +108,14 @@ def main(argv):
     t0 = time.time()
     sampled = sample_graphs(params["flow"], cfg.flow, cfg.ae, n, size_dist,
                             max_nodes, seed=seed, temperature=temperature,
+                            threshold=threshold,
                             batch_size=cfg.data.batch_size)
     dt = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
     results["graphs_per_s"] = n / dt
     results["num_samples"] = n
     results["temperature"] = temperature
+    results["threshold"] = threshold
     print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
     return results
 
