@@ -48,7 +48,15 @@ class FlowConfig:
     # "affine": z¹ = x¹·exp(s)+t (exact non-zero log-det, density estimation)
     # "additive": z¹ = x¹+t (RevNet-style; log-det 0; stable deep supervised
     #             backbone — activations cannot blow up multiplicatively)
+    # "rqs": monotone rational-quadratic spline per dim (Neural Spline Flows,
+    #        arXiv:1906.04032 — PAPERS.md) parameterised by the same GNN;
+    #        far more expressive per coupling than affine for multimodal
+    #        fine structure, exact log-det and analytic inverse. Identity
+    #        outside [-rqs_range, rqs_range]; zero GNN output = identity map
+    #        (so zero-init start and padded-node exactness carry over).
     coupling: str = "affine"
+    rqs_bins: int = 8             # K spline bins ("rqs" coupling only)
+    rqs_range: float = 4.0        # spline support [-B, B] ("rqs" only)
     # data-initialised per-dim affine at the flow input (Glow's ActNorm):
     # standardises the target distribution so couplings start from a
     # well-conditioned base; exact log-det. Params live under
@@ -68,11 +76,14 @@ class FlowConfig:
         return self.node_dim // 2
 
     def st_gnn_config(self) -> GNNConfig:
-        """GNN mapping one half (D/2 dims) to (s, t) for the other half."""
+        """GNN mapping one half (D/2 dims) to the transform parameters of the
+        other half: (s, t) for affine/additive, 3K−1 spline params/dim for
+        rqs."""
+        per_dim = (3 * self.rqs_bins - 1) if self.coupling == "rqs" else 2
         return GNNConfig(
             in_dim=self.half_dim,
             hidden_dim=self.gnn_hidden,
-            out_dim=2 * self.half_dim,
+            out_dim=per_dim * self.half_dim,
             num_rounds=self.gnn_rounds,
             aggregation=self.aggregation,  # type: ignore[arg-type]
             message_mode=self.message_mode,  # type: ignore[arg-type]
@@ -123,26 +134,136 @@ def actnorm_inverse(an: dict, y: jax.Array, graph: GraphBatch):
     return x, logdet
 
 
-def _st(params_gnn: dict, cfg: FlowConfig, h: jax.Array, graph: GraphBatch):
-    """Run one s/t GNN on a half, returning (s, t), both masked, s clamped.
-    In additive mode s is identically 0 (unit scale, zero log-det)."""
+def _masked_sum(x: jax.Array, graph: GraphBatch) -> jax.Array:
+    """Σ over node slots and feature dims, masked to real nodes -> f32[B]."""
+    return jnp.sum(x * graph.node_mask[..., None], axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Monotone rational-quadratic splines (Durkan et al., arXiv:1906.04032)
+# ---------------------------------------------------------------------------
+
+_MIN_BIN = 1e-3
+_MIN_DERIV = 1e-3
+# _MIN_DERIV + softplus(x + _DERIV_SHIFT) == 1 exactly at x == 0: zero
+# spline params -> unit knot derivatives -> (with uniform bins) the
+# identity transform
+_DERIV_SHIFT = math.log(math.expm1(1.0 - _MIN_DERIV))
+# soft cap on the raw spline logits (tanh squash, like s_cap for affine
+# couplings): bounds adjacent-bin width/height/derivative ratios so the
+# quadratic inverse stays float32-well-conditioned for ANY GNN output
+_LOGIT_CAP = 2.5
+
+
+def _rqs(x: jax.Array, theta: jax.Array, K: int, B: float, inverse: bool):
+    """Elementwise monotone RQS on [-B, B], identity (slope 1) outside.
+
+    x: f32[...]; theta: f32[..., 3K-1] raw parameters (K widths, K heights,
+    K-1 internal knot derivatives; boundary derivatives fixed to 1 so the
+    spline meets the identity tails C¹-continuously). Returns
+    (y, log|dy/dx|) elementwise; `inverse=True` evaluates the analytic
+    inverse and returns the FORWARD log-derivative at the recovered point.
+    All-zero theta is exactly the identity with zero log-derivative.
+    """
+    w_raw = _LOGIT_CAP * jnp.tanh(theta[..., :K] / _LOGIT_CAP)
+    h_raw = _LOGIT_CAP * jnp.tanh(theta[..., K : 2 * K] / _LOGIT_CAP)
+    d_raw = _LOGIT_CAP * jnp.tanh(theta[..., 2 * K :] / _LOGIT_CAP)
+
+    widths = _MIN_BIN + (1.0 - _MIN_BIN * K) * jax.nn.softmax(w_raw, axis=-1)
+    heights = _MIN_BIN + (1.0 - _MIN_BIN * K) * jax.nn.softmax(h_raw, axis=-1)
+    widths = widths * (2.0 * B)
+    heights = heights * (2.0 * B)
+    xk = jnp.cumsum(widths, axis=-1) - B                   # right knot x, [.., K]
+    xk = jnp.concatenate([jnp.full_like(xk[..., :1], -B), xk], axis=-1)
+    yk = jnp.cumsum(heights, axis=-1) - B
+    yk = jnp.concatenate([jnp.full_like(yk[..., :1], -B), yk], axis=-1)
+    derivs = _MIN_DERIV + jax.nn.softplus(d_raw + _DERIV_SHIFT)
+    ones = jnp.ones_like(derivs[..., :1])
+    derivs = jnp.concatenate([ones, derivs, ones], axis=-1)  # [.., K+1]
+
+    inside = jnp.abs(x) < B
+    xs = jnp.clip(x, -B, B)
+    knots = yk if inverse else xk
+    # bin index via comparisons (K is small); clip keeps boundary in-range
+    k = jnp.clip(
+        jnp.sum(xs[..., None] >= knots[..., 1:], axis=-1), 0, K - 1
+    )
+
+    def take(a):
+        return jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+
+    x_lo, w = take(xk), take(widths)
+    y_lo, h = take(yk), take(heights)
+    d_lo = take(derivs)
+    d_hi = jnp.take_along_axis(derivs, k[..., None] + 1, axis=-1)[..., 0]
+    s = h / w
+
+    if inverse:
+        dy = xs - y_lo
+        a = h * (s - d_lo) + dy * (d_hi + d_lo - 2.0 * s)
+        b = h * d_lo - dy * (d_hi + d_lo - 2.0 * s)
+        c = -s * dy
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        xi = (2.0 * c) / (-b - jnp.sqrt(disc))
+        xi = jnp.clip(xi, 0.0, 1.0)
+        # two Newton steps: the f32 quadratic solve leaves ~1e-4 error that
+        # compounds through deep coupling stacks (θ of the next inverse is
+        # conditioned on this output); Newton converges it to float noise
+        for _ in range(2):
+            den_i = s + (d_hi + d_lo - 2.0 * s) * xi * (1.0 - xi)
+            f_i = y_lo + h * (s * xi * xi + d_lo * xi * (1.0 - xi)) / den_i
+            dnum = s * s * (d_hi * xi * xi + 2.0 * s * xi * (1.0 - xi)
+                            + d_lo * (1.0 - xi) * (1.0 - xi))
+            dfdxi = w * dnum / (den_i * den_i)
+            xi = xi - (f_i - xs) / jnp.maximum(dfdxi, 1e-12)
+            xi = jnp.clip(xi, 0.0, 1.0)
+        out = x_lo + xi * w
+    else:
+        xi = jnp.clip((xs - x_lo) / w, 0.0, 1.0)
+        num = h * (s * xi * xi + d_lo * xi * (1.0 - xi))
+        den = s + (d_hi + d_lo - 2.0 * s) * xi * (1.0 - xi)
+        out = y_lo + num / den
+
+    den = s + (d_hi + d_lo - 2.0 * s) * xi * (1.0 - xi)
+    deriv_num = s * s * (d_hi * xi * xi + 2.0 * s * xi * (1.0 - xi)
+                         + d_lo * (1.0 - xi) * (1.0 - xi))
+    log_deriv = jnp.log(deriv_num) - 2.0 * jnp.log(den)
+
+    y = jnp.where(inside, out, x)
+    log_deriv = jnp.where(inside, log_deriv, 0.0)
+    return y, log_deriv
+
+
+def _transform_half(
+    params_gnn: dict, cfg: FlowConfig, cond: jax.Array, h: jax.Array,
+    graph: GraphBatch, inverse: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Transform one half `h` conditioned on the other half `cond` via the
+    coupling's GNN. Returns (new_half masked, forward log-det f32[B])."""
+    c = cond
     if cfg.st_input_norm:
-        mu = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.var(h, axis=-1, keepdims=True)
-        h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
-        h = h * graph.node_mask[..., None]
-    out = apply_gnn(params_gnn, cfg.st_gnn_config(), h, graph)
+        mu = jnp.mean(c, axis=-1, keepdims=True)
+        var = jnp.var(c, axis=-1, keepdims=True)
+        c = (c - mu) * jax.lax.rsqrt(var + 1e-5)
+        c = c * graph.node_mask[..., None]
+    out = apply_gnn(params_gnn, cfg.st_gnn_config(), c, graph)
+    if cfg.coupling == "rqs":
+        K = cfg.rqs_bins
+        theta = out.reshape(*h.shape, 3 * K - 1)
+        y, log_d = _rqs(h, theta, K, cfg.rqs_range, inverse)
+        y = y * graph.node_mask[..., None]
+        return y, _masked_sum(log_d, graph)
     s_raw, t = jnp.split(out, 2, axis=-1)
     if cfg.coupling == "additive":
         s = jnp.zeros_like(s_raw)
     else:
         s = cfg.s_cap * jnp.tanh(s_raw / cfg.s_cap)
-    return s, t
-
-
-def _masked_sum(x: jax.Array, graph: GraphBatch) -> jax.Array:
-    """Σ over node slots and feature dims, masked to real nodes -> f32[B]."""
-    return jnp.sum(x * graph.node_mask[..., None], axis=(1, 2))
+    if inverse:
+        y = (h - t) * jnp.exp(-s)
+    else:
+        y = h * jnp.exp(s) + t
+    y = y * graph.node_mask[..., None]
+    return y, _masked_sum(s, graph)
 
 
 def coupling_forward(
@@ -151,14 +272,13 @@ def coupling_forward(
     """One GRevNet coupling step. x f32[B,N,D] -> (z, logdet[B])."""
     x0, x1 = jnp.split(x, 2, axis=-1)
     with jax.named_scope("coupling_F1"):
-        s1, t1 = _st(layer_params["F1"], cfg, x0, graph)
-    z1 = x1 * jnp.exp(s1) + t1
+        z1, ld1 = _transform_half(layer_params["F1"], cfg, x0, x1, graph,
+                                  inverse=False)
     with jax.named_scope("coupling_F2"):
-        s2, t2 = _st(layer_params["F2"], cfg, z1, graph)
-    z0 = x0 * jnp.exp(s2) + t2
+        z0, ld2 = _transform_half(layer_params["F2"], cfg, z1, x0, graph,
+                                  inverse=False)
     z = jnp.concatenate([z0, z1], axis=-1) * graph.node_mask[..., None]
-    logdet = _masked_sum(s1, graph) + _masked_sum(s2, graph)
-    return z, logdet
+    return z, ld1 + ld2
 
 
 def coupling_inverse(
@@ -166,13 +286,12 @@ def coupling_inverse(
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact inverse of `coupling_forward`. Returns (x, logdet of forward)."""
     z0, z1 = jnp.split(z, 2, axis=-1)
-    s2, t2 = _st(layer_params["F2"], cfg, z1, graph)
-    x0 = (z0 - t2) * jnp.exp(-s2)
-    s1, t1 = _st(layer_params["F1"], cfg, x0, graph)
-    x1 = (z1 - t1) * jnp.exp(-s1)
+    x0, ld2 = _transform_half(layer_params["F2"], cfg, z1, z0, graph,
+                              inverse=True)
+    x1, ld1 = _transform_half(layer_params["F1"], cfg, x0, z1, graph,
+                              inverse=True)
     x = jnp.concatenate([x0, x1], axis=-1) * graph.node_mask[..., None]
-    logdet = _masked_sum(s1, graph) + _masked_sum(s2, graph)
-    return x, logdet
+    return x, ld1 + ld2
 
 
 def flow_forward(

@@ -154,3 +154,117 @@ def test_coupling_single_layer_logdet_formula():
     _, ld_auto = jnp.linalg.slogdet(jac)
     _, ld = coupling_forward(layer, cfg, x, gb)
     np.testing.assert_allclose(float(ld[0]), float(ld_auto), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# rational-quadratic spline couplings (coupling="rqs")
+# ---------------------------------------------------------------------------
+
+def _rqs_cfg(**kw):
+    return FlowConfig(node_dim=4, num_couplings=3, gnn_hidden=16, gnn_rounds=2,
+                      coupling="rqs", rqs_bins=5, **kw)
+
+
+def _spline_params(key, cfg, scale=0.05):
+    """Random flow params with moderately perturbed spline heads: visibly
+    non-identity without saturating outputs at the spline boundary (where
+    the inverse is float-ill-conditioned)."""
+    params = init_flow(key, cfg)
+
+    def perturb(path, leaf):
+        if any(getattr(p, "key", None) == "out" for p in path):
+            k = jax.random.fold_in(key, hash(str(path)) % (2**31))
+            return leaf + scale * jax.random.normal(k, leaf.shape)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(perturb, params)
+
+
+def test_rqs_identity_at_init():
+    cfg = _rqs_cfg()
+    params = init_flow(jax.random.PRNGKey(0), cfg)
+    gb, x = _batch(jax.random.PRNGKey(1))
+    z, ld = flow_forward(params, cfg, x, gb)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-5)
+
+
+def test_rqs_invertibility():
+    """Spline inversion itself is Newton-refined to float noise; the residual
+    round-trip error of a stack comes from θ-sensitivity (each recovered
+    half conditions the next inverse), which compounds with depth under
+    random parameters. Pin a tight single-coupling bound and a loose
+    full-stack bound; the forward log-det exactness (the property NLL
+    depends on) is pinned separately against autodiff."""
+    from gnfx.models.flow import coupling_forward, coupling_inverse
+
+    cfg = _rqs_cfg()
+    params = _spline_params(jax.random.PRNGKey(2), cfg)
+    gb, x = _batch(jax.random.PRNGKey(3))
+
+    layer = jax.tree.map(lambda l: l[0], params)
+    z1, ld_f1 = coupling_forward(layer, cfg, x, gb)
+    x_b1, ld_b1 = coupling_inverse(layer, cfg, z1, gb)
+    assert not np.allclose(np.asarray(z1), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(x_b1), np.asarray(x), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ld_b1), np.asarray(ld_f1),
+                               rtol=1e-3, atol=1e-3)
+
+    # full stack at trained-like parameter scale (random θ at 10× larger
+    # scale measurably amplifies the per-hop error ~50× per layer — an
+    # adversarial regime SGD-trained smooth flows do not enter)
+    params_s = _spline_params(jax.random.PRNGKey(21), cfg, scale=0.01)
+    z, _ = flow_forward(params_s, cfg, x, gb)
+    x_back, _ = flow_inverse(params_s, cfg, z, gb)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-3)
+
+
+def test_rqs_logdet_matches_autodiff_jacobian():
+    cfg = FlowConfig(node_dim=4, num_couplings=2, gnn_hidden=8, gnn_rounds=1,
+                     coupling="rqs", rqs_bins=4)
+    params = _spline_params(jax.random.PRNGKey(4), cfg)
+    max_n, n = 5, 4
+    a = jnp.zeros((1, max_n, max_n))
+    for u, v in [(0, 1), (1, 2), (2, 3), (0, 3)]:
+        a = a.at[0, u, v].set(1.0).at[0, v, u].set(1.0)
+    gb = batch_from_dense(a, jnp.array([n]))
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, max_n, cfg.node_dim))
+    x = x * gb.node_mask[..., None]
+
+    def f_flat(x_real_flat):
+        x_full = jnp.zeros((1, max_n, cfg.node_dim))
+        x_full = x_full.at[0, :n].set(x_real_flat.reshape(n, cfg.node_dim))
+        z, _ = flow_forward(params, cfg, x_full, gb)
+        return z[0, :n].reshape(-1)
+
+    jac = jax.jacfwd(f_flat)(x[0, :n].reshape(-1))
+    sign, logdet_auto = jnp.linalg.slogdet(jac)
+    _, logdet_analytic = flow_forward(params, cfg, x, gb)
+    assert float(sign) == 1.0
+    np.testing.assert_allclose(float(logdet_analytic[0]), float(logdet_auto),
+                               rtol=1e-4)
+
+
+def test_rqs_padding_invariant():
+    cfg = _rqs_cfg()
+    params = _spline_params(jax.random.PRNGKey(8), cfg)
+    gb, x = _batch(jax.random.PRNGKey(9), bsz=2, max_n=6)
+    lp = log_prob(params, cfg, x, gb)
+    adj_w = jnp.pad(gb.adj, ((0, 0), (0, 4), (0, 4)))
+    x_w = jnp.pad(x, ((0, 0), (0, 4), (0, 0)))
+    gb_w = batch_from_dense(adj_w, gb.n_node, x_w)
+    lp_w = log_prob(params, cfg, x_w, gb_w)
+    np.testing.assert_allclose(np.asarray(lp_w), np.asarray(lp), rtol=1e-5)
+
+
+def test_rqs_tails_identity():
+    """Outside [-B, B] the transform is the identity with zero log-det."""
+    cfg = FlowConfig(node_dim=2, num_couplings=1, gnn_hidden=8, gnn_rounds=1,
+                     coupling="rqs", rqs_bins=4, rqs_range=2.0)
+    params = _spline_params(jax.random.PRNGKey(12), cfg)
+    a = jnp.array([[[0.0, 1.0], [1.0, 0.0]]])
+    gb = batch_from_dense(a, jnp.array([2]))
+    x = jnp.full((1, 2, 2), 7.5)  # far outside the spline support
+    z, ld = flow_forward(params, cfg, x, gb)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-6)
