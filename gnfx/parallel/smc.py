@@ -60,8 +60,8 @@ def _tile_graph(graph: GraphBatch, k: int) -> GraphBatch:
     return jax.tree.map(lambda a: jnp.broadcast_to(a, (k,) + a.shape[1:]), graph)
 
 
-def _log_q(x: jax.Array, mu: jax.Array, sigma: float, graph: GraphBatch) -> jax.Array:
-    per = -0.5 * (((x - mu) / sigma) ** 2 + _LOG_2PI) - math.log(sigma)
+def _log_q(x: jax.Array, mu: jax.Array, sigma, graph: GraphBatch) -> jax.Array:
+    per = -0.5 * (((x - mu) / sigma) ** 2 + _LOG_2PI) - jnp.log(sigma)
     return jnp.sum(per * graph.node_mask[..., None], axis=(1, 2))
 
 
@@ -101,13 +101,30 @@ def iwae_log_prob(
     graph_k = _tile_graph(graph, local_k)
     mu_k = jnp.broadcast_to(mu, (local_k,) + mu.shape[1:])
 
+    run = _iwae_runner(fcfg, acfg, num_particles, local_k, mesh)
+    return run(flow_params, mu_k, graph_k, jnp.float32(sigma_q),
+               jax.random.fold_in(key, 1))
+
+
+_IWAE_RUNNERS: dict = {}
+
+
+def _iwae_runner(fcfg, acfg, num_particles, local_k, mesh):
+    """Jitted shard_map runner, cached by config so repeated calls (per
+    graph, per proposal width) reuse ONE compilation — σ_q and all params
+    are traced arguments, and the remote-relay compile is minutes-slow."""
+    cache_key = (fcfg, acfg, num_particles, local_k, id(mesh))
+    if cache_key in _IWAE_RUNNERS:
+        return _IWAE_RUNNERS[cache_key]
+
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def run(flow_p, k):
+    def run(flow_p, mu_k, graph_k, sigma_q, k):
         dev = jax.lax.axis_index("data")
         kk = jax.random.fold_in(k, dev)
         eps = jax.random.normal(kk, mu_k.shape) * graph_k.node_mask[..., None]
@@ -118,7 +135,8 @@ def iwae_log_prob(
         s = jax.lax.psum(jnp.sum(jnp.exp(logw - m)), "data")
         return m + jnp.log(s) - math.log(num_particles)
 
-    return run(flow_params, jax.random.fold_in(key, 1))
+    _IWAE_RUNNERS[cache_key] = run
+    return run
 
 
 def systematic_resample_indices(norm_w: jax.Array, u: jax.Array) -> jax.Array:
