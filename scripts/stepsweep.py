@@ -7,7 +7,7 @@ Sample quality is non-monotone in training steps (BASELINE.md), so the
 stopping point is a selection problem: for every retained flow checkpoint
 of `runs/<run-name>/`, select (temperature, decode threshold) on the TRAIN
 split, then report the full MMD protocol on the TEST split. Results go to
-`runs/<run-name>/stepsweep.json`; the best row (by test degree+clustering,
+`runs/<run-name>/stepsweep.json`; the best row (by summed test MMDs,
 printed last) is what BASELINE.md quotes.
 """
 
@@ -22,7 +22,8 @@ import numpy as np
 
 from gnfx.config import from_dict
 from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
-from gnfx.eval.mmd import clustering_stats, degree_stats, evaluate_generated
+from gnfx.eval.mmd import (clustering_stats, degree_stats, evaluate_generated,
+                           orbit_stats)
 from gnfx.models import autoencoder as ae_mod
 from gnfx.models.flow import init_flow
 from gnfx.sample import sample_graphs
@@ -77,8 +78,9 @@ def main(argv):
                     seed=901, batch_size=cfg.data.batch_size,
                     temperature=T, threshold=thr,
                 )
-                sc = degree_stats(train_g, probe) + clustering_stats(train_g,
-                                                                     probe)
+                sc = (degree_stats(train_g, probe)
+                      + clustering_stats(train_g, probe)
+                      + orbit_stats(train_g, probe))
                 if sc < best_score:
                     best_t, best_thr, best_score = T, thr, sc
         final = sample_graphs(flow_p, cfg.flow, cfg.ae, n_final, size_dist,
@@ -94,7 +96,7 @@ def main(argv):
 
     with open(os.path.join(run_dir, "stepsweep.json"), "w") as f:
         json.dump(out, f, indent=2)
-    best = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"])
+    best = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"] + r["mmd_orbit"])
     print("[sweep] BEST", json.dumps(best), flush=True)
     return best
 

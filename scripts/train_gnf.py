@@ -123,7 +123,7 @@ def main(argv):
     # Temperature selection on the TRAIN split (cheap degree+clustering MMD),
     # then final sampling + full MMD eval against the held-out test split.
     size_dist = empirical_size_distribution(n_tr, max_nodes)
-    from gnfx.eval.mmd import clustering_stats, degree_stats
+    from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
 
     best_temp, best_thr, best_score = 1.0, 0.5, float("inf")
     for temp in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
@@ -133,9 +133,9 @@ def main(argv):
                 seed=cfg.train.seed + 100, batch_size=cfg.data.batch_size,
                 temperature=temp, threshold=thr,
             )
-            score = degree_stats(train_graphs, probe) + clustering_stats(
-                train_graphs, probe
-            )
+            score = (degree_stats(train_graphs, probe)
+                     + clustering_stats(train_graphs, probe)
+                     + orbit_stats(train_graphs, probe))
             print(f"[gnfx] temp {temp} thr {thr}: train-split MMD score "
                   f"{score:.3f}", flush=True)
             if score < best_score:
