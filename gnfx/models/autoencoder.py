@@ -100,15 +100,31 @@ def reconstruction_loss(
 
 
 def decode_to_adjacency(
-    x: jax.Array, cfg: AEConfig, graph: GraphBatch, threshold: float = 0.5
+    x: jax.Array, cfg: AEConfig, graph: GraphBatch, threshold: float = 0.5,
+    connect_isolated: bool = False,
 ) -> jax.Array:
     """Hard symmetric adjacency from embeddings: threshold Â on real pairs
     (SURVEY.md §3c; 0.5 is the reference's rule — the sampler may select the
     threshold on the train split as a generation hyperparameter alongside
-    temperature, which calibrates edge density)."""
+    temperature, which calibrates edge density).
+
+    `connect_isolated` conditions the decode on the data distribution's
+    support (every training graph has min degree ≥ 1): any real node left
+    isolated by the threshold gets one edge to its nearest neighbor in
+    embedding distance. Off by default; selected on the train split like
+    temperature/threshold."""
     probs = decode_edges(x, cfg)
     pair = graph.node_mask[:, :, None] * graph.node_mask[:, None, :]
     eye = jnp.eye(graph.max_nodes)[None]
-    hard = (probs > threshold).astype(jnp.float32) * pair * (1.0 - eye)
+    valid = pair * (1.0 - eye)
+    hard = (probs > threshold).astype(jnp.float32) * valid
     # symmetrise (decoder is symmetric by construction, but be safe)
-    return jnp.maximum(hard, jnp.transpose(hard, (0, 2, 1)))
+    hard = jnp.maximum(hard, jnp.transpose(hard, (0, 2, 1)))
+    if connect_isolated:
+        d2 = pairwise_sq_dists(x) + 1e9 * (1.0 - valid)
+        nn = jax.nn.one_hot(jnp.argmin(d2, axis=-1), graph.max_nodes)
+        iso = (jnp.sum(hard, axis=-1) == 0).astype(jnp.float32)
+        iso = iso * graph.node_mask * (graph.n_node > 1)[:, None]
+        add = nn * iso[..., None] * valid
+        hard = jnp.maximum(hard, jnp.maximum(add, jnp.transpose(add, (0, 2, 1))))
+    return hard

@@ -25,7 +25,7 @@ from gnfx.models.flow import FlowConfig, flow_inverse
 
 @functools.partial(jax.jit,
                    static_argnames=("fcfg", "acfg", "max_nodes", "temperature",
-                                    "threshold"))
+                                    "threshold", "connect_isolated"))
 def sample_batch_device(
     flow_params: dict,
     fcfg: FlowConfig,
@@ -35,6 +35,7 @@ def sample_batch_device(
     max_nodes: int,
     temperature: float = 1.0,
     threshold: float = 0.5,
+    connect_isolated: bool = False,
 ) -> jax.Array:
     """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N]."""
     bsz = n_node.shape[0]
@@ -44,7 +45,7 @@ def sample_batch_device(
                     node_mask=mask, n_node=n_node).fully_connected()
     z = temperature * jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
-    return ae.decode_to_adjacency(x, acfg, gb, threshold)
+    return ae.decode_to_adjacency(x, acfg, gb, threshold, connect_isolated)
 
 
 def sample_graphs(
@@ -60,6 +61,7 @@ def sample_graphs(
     min_nodes: int = 2,
     temperature: float = 1.0,
     threshold: float = 0.5,
+    connect_isolated: bool = False,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -75,6 +77,7 @@ def sample_graphs(
         adj = sample_batch_device(
             flow_params, fcfg, acfg, jax.random.fold_in(key, start),
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
+            connect_isolated,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         out.extend(arrays_to_networkx(adj_np, chunk))

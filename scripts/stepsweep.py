@@ -70,25 +70,27 @@ def main(argv):
     for s in steps:
         (flow_p, _), _ = restore_checkpoint(os.path.join(run_dir, "ckpt"),
                                             (flow_t, opt_t), step=s)
-        best_t, best_thr, best_score = 1.0, 0.5, float("inf")
+        best_t, best_thr, best_ci, best_score = 1.0, 0.5, False, float("inf")
         for T in TEMPS:
             for thr in THRESHOLDS:
-                probe = sample_graphs(
-                    flow_p, cfg.flow, cfg.ae, 64, size_dist, max_n,
-                    seed=901, batch_size=cfg.data.batch_size,
-                    temperature=T, threshold=thr,
-                )
-                sc = (degree_stats(train_g, probe)
-                      + clustering_stats(train_g, probe)
-                      + orbit_stats(train_g, probe))
-                if sc < best_score:
-                    best_t, best_thr, best_score = T, thr, sc
+                for ci in (False, True):
+                    probe = sample_graphs(
+                        flow_p, cfg.flow, cfg.ae, 64, size_dist, max_n,
+                        seed=901, batch_size=cfg.data.batch_size,
+                        temperature=T, threshold=thr, connect_isolated=ci,
+                    )
+                    sc = (degree_stats(train_g, probe)
+                          + clustering_stats(train_g, probe)
+                          + orbit_stats(train_g, probe))
+                    if sc < best_score:
+                        best_t, best_thr, best_ci, best_score = T, thr, ci, sc
         final = sample_graphs(flow_p, cfg.flow, cfg.ae, n_final, size_dist,
                               max_n, seed=77, batch_size=cfg.data.batch_size,
-                              temperature=best_t, threshold=best_thr)
+                              temperature=best_t, threshold=best_thr,
+                              connect_isolated=best_ci)
         res = evaluate_generated(test_g, final)
         rec = {"step": s, "temp": best_t, "threshold": best_thr,
-               "train_score": round(best_score, 4),
+               "connect_isolated": best_ci, "train_score": round(best_score, 4),
                **{k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in res.items()}}
         out.append(rec)

@@ -125,28 +125,30 @@ def main(argv):
     size_dist = empirical_size_distribution(n_tr, max_nodes)
     from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
 
-    best_temp, best_thr, best_score = 1.0, 0.5, float("inf")
+    best_temp, best_thr, best_ci, best_score = 1.0, 0.5, False, float("inf")
     for temp in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
         for thr in (0.3, 0.5, 0.7):
-            probe = sample_graphs(
-                flow_params, cfg.flow, cfg.ae, 64, size_dist, max_nodes,
-                seed=cfg.train.seed + 100, batch_size=cfg.data.batch_size,
-                temperature=temp, threshold=thr,
-            )
-            score = (degree_stats(train_graphs, probe)
-                     + clustering_stats(train_graphs, probe)
-                     + orbit_stats(train_graphs, probe))
-            print(f"[gnfx] temp {temp} thr {thr}: train-split MMD score "
-                  f"{score:.3f}", flush=True)
-            if score < best_score:
-                best_temp, best_thr, best_score = temp, thr, score
+            for ci in (False, True):
+                probe = sample_graphs(
+                    flow_params, cfg.flow, cfg.ae, 64, size_dist, max_nodes,
+                    seed=cfg.train.seed + 100, batch_size=cfg.data.batch_size,
+                    temperature=temp, threshold=thr, connect_isolated=ci,
+                )
+                score = (degree_stats(train_graphs, probe)
+                         + clustering_stats(train_graphs, probe)
+                         + orbit_stats(train_graphs, probe))
+                print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)}: "
+                      f"train-split MMD score {score:.3f}", flush=True)
+                if score < best_score:
+                    best_temp, best_thr, best_ci, best_score = (
+                        temp, thr, ci, score)
 
     t0 = time.time()
     num_samples = max(len(test_graphs) * 4, 64)
     sampled = sample_graphs(
         flow_params, cfg.flow, cfg.ae, num_samples, size_dist, max_nodes,
         seed=cfg.train.seed, batch_size=cfg.data.batch_size,
-        temperature=best_temp, threshold=best_thr,
+        temperature=best_temp, threshold=best_thr, connect_isolated=best_ci,
     )
     sample_time = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
@@ -154,6 +156,7 @@ def main(argv):
     results["num_samples"] = num_samples
     results["sample_temperature"] = best_temp
     results["sample_threshold"] = best_thr
+    results["sample_connect_isolated"] = best_ci
 
     # importance-weighted held-out NLL of full graphs (particle-sharded
     # IWAE over the device mesh — BASELINE "held-out NLL" metric)
