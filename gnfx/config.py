@@ -63,6 +63,12 @@ class TrainConfig:
     # >0: at every eval, sample this many graphs and log degree/clustering
     # MMD vs the held-out split (generation-quality trajectory, not just NLL)
     eval_samples: int = 0
+    # >0: maintain an exponential moving average of the flow params (decay
+    # per optimizer step, updated inside the scan chunk). The EMA params are
+    # checkpointed ALONGSIDE the raw params — (params, opt_state, ema) — so
+    # post-hoc selection (scripts/stepsweep.py) can compare raw vs EMA per
+    # checkpoint; sampling/eval during training use the EMA when enabled.
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

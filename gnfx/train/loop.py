@@ -173,7 +173,7 @@ def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
     return step, embed, one_step
 
 
-def make_multi_step(one_step, base_key):
+def make_multi_step(one_step, base_key, ema_decay: float = 0.0):
     """Scan-over-steps training: K full optimizer steps in ONE jit call.
 
     At the small shapes this framework targets (B=32, N=20) a single step
@@ -183,23 +183,48 @@ def make_multi_step(one_step, base_key):
     per-step semantics bit-identical to the unchunked loop: the same
     `fold_in(base_key, step)` keys, the same data order (a pure function of
     (seed, step)), the same optimizer-schedule counts. Returns per-step
-    (losses f32[K], aux dict of f32[K]) so logging stays exact."""
+    (losses f32[K], aux dict of f32[K]) so logging stays exact.
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def multi_step(params, opt_state, graphs: GraphBatch, steps):
+    With `ema_decay > 0` the carry also holds an exponential moving average
+    of the params, updated once per optimizer step inside the scan (so the
+    EMA is chunk-size invariant too)."""
+
+    if ema_decay <= 0.0:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, graphs: GraphBatch, steps):
+            def body(carry, inp):
+                params, opt_state = carry
+                gb, step_i = inp
+                key = jax.random.fold_in(base_key, step_i)
+                params, opt_state, loss, aux = one_step(params, opt_state, gb, key)
+                return (params, opt_state), (loss, aux)
+
+            (params, opt_state), (losses, auxes) = jax.lax.scan(
+                body, (params, opt_state), (graphs, steps)
+            )
+            return params, opt_state, losses, auxes
+
+        return multi_step
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def multi_step_ema(params, opt_state, ema, graphs: GraphBatch, steps):
         def body(carry, inp):
-            params, opt_state = carry
+            params, opt_state, ema = carry
             gb, step_i = inp
             key = jax.random.fold_in(base_key, step_i)
             params, opt_state, loss, aux = one_step(params, opt_state, gb, key)
-            return (params, opt_state), (loss, aux)
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params
+            )
+            return (params, opt_state, ema), (loss, aux)
 
-        (params, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, opt_state), (graphs, steps)
+        (params, opt_state, ema), (losses, auxes) = jax.lax.scan(
+            body, (params, opt_state, ema), (graphs, steps)
         )
-        return params, opt_state, losses, auxes
+        return params, opt_state, ema, losses, auxes
 
-    return multi_step
+    return multi_step_ema
 
 
 def make_flow_eval(fcfg: FlowConfig, *, full_graph: bool, embed=None):
@@ -260,16 +285,31 @@ def train_flow(
     tx = make_optimizer(tcfg.lr, tcfg.lr_warmup, tcfg.grad_clip, tcfg.num_steps,
                         tcfg.weight_decay)
     opt_state = tx.init(params)
+    use_ema = tcfg.ema_decay > 0.0
+    ema = jax.tree.map(jnp.copy, params) if use_ema else None
     start_step = 0
     if resume:
         last = latest_step(tcfg.checkpoint_dir)
         if last is not None:
-            (params, opt_state), start_step = restore_checkpoint(
-                tcfg.checkpoint_dir, (params, opt_state)
-            )
+            if use_ema:
+                try:
+                    (params, opt_state, ema), start_step = restore_checkpoint(
+                        tcfg.checkpoint_dir, (params, opt_state, ema)
+                    )
+                except KeyError:
+                    # checkpoint from a pre-EMA run: seed the EMA at the
+                    # restored params
+                    (params, opt_state), start_step = restore_checkpoint(
+                        tcfg.checkpoint_dir, (params, opt_state)
+                    )
+                    ema = jax.tree.map(jnp.copy, params)
+            else:
+                (params, opt_state), start_step = restore_checkpoint(
+                    tcfg.checkpoint_dir, (params, opt_state)
+                )
     _, embed, one_step = make_flow_step(fcfg, tx, full_graph=full_graph,
                                         ae_params=ae_params, acfg=cfg.ae)
-    multi_step = make_multi_step(one_step, key)
+    multi_step = make_multi_step(one_step, key, tcfg.ema_decay)
     eval_fn = make_flow_eval(
         fcfg, full_graph=full_graph,
         embed=embed if ae_params is not None else None,
@@ -287,14 +327,21 @@ def train_flow(
 
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
+        if use_ema:
+            ema = replicate(ema, mesh)
 
     eval_key = jax.random.fold_in(key, 2**20)
     for steps, gb in batches:
         if mesh is not None:
             gb = shard_batch(gb, mesh, stacked=True)
-        params, opt_state, losses, auxes = multi_step(
-            params, opt_state, gb, jnp.asarray(steps)
-        )
+        if use_ema:
+            params, opt_state, ema, losses, auxes = multi_step(
+                params, opt_state, ema, gb, jnp.asarray(steps)
+            )
+        else:
+            params, opt_state, losses, auxes = multi_step(
+                params, opt_state, gb, jnp.asarray(steps)
+            )
         # fetching the per-step metric arrays syncs once per chunk, which
         # also bounds the async dispatch queue (see AE loop)
         losses = np.asarray(losses)
@@ -307,20 +354,22 @@ def train_flow(
                     metrics.write(int(s), stage="flow", nll_per_dim=losses[j],
                                   **{k: v[j] for k, v in auxes.items()})
         hit_eval = any(s % tcfg.eval_every == 0 for s in steps) or last
+        eval_params = ema if use_ema else params
         if hit_eval and on_eval is not None:
             # host-side probe hook (e.g. sampled-graph quality MMDs)
-            on_eval(chunk_end - 1, params)
+            on_eval(chunk_end - 1, eval_params)
         if hit_eval and eval_data is not None:
             e_adj, e_n = eval_data[0], eval_data[1]
             e_emb = eval_data[2] if len(eval_data) > 2 else None
             egb = batch_from_dense(e_adj, e_n, e_emb)
-            nll_dim, nll_graph = eval_fn(params, egb, eval_key)
+            nll_dim, nll_graph = eval_fn(eval_params, egb, eval_key)
             if metrics is not None:
                 metrics.write(chunk_end - 1, stage="eval",
                               heldout_nll_per_dim=nll_dim,
                               heldout_nll_per_graph=nll_graph)
         hit_ckpt = any(s % tcfg.checkpoint_every == 0 and s > 0 for s in steps)
         if hit_ckpt or last:
-            save_checkpoint(tcfg.checkpoint_dir, chunk_end, (params, opt_state),
+            state = (params, opt_state, ema) if use_ema else (params, opt_state)
+            save_checkpoint(tcfg.checkpoint_dir, chunk_end, state,
                             keep=tcfg.checkpoint_keep)
-    return params
+    return ema if use_ema else params

@@ -34,6 +34,7 @@ from gnfx.train.checkpoint import restore_checkpoint
 def main(argv):
     preset = "community-small"
     num_samples, seed, temperature, step_sel, threshold = None, 0, None, None, None
+    connect_isolated, variant = None, "ema"
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
@@ -45,6 +46,10 @@ def main(argv):
             step_sel = int(a.split("=")[1])
         elif a.startswith("threshold="):
             threshold = float(a.split("=")[1])
+        elif a.startswith("connect_isolated="):
+            connect_isolated = a.split("=")[1].lower() in ("1", "true", "yes")
+        elif a.startswith("variant="):
+            variant = a.split("=")[1]   # "ema" (default when available) | "raw"
         elif "=" not in a:
             preset = a
     run_dir = os.path.join("runs", preset)
@@ -68,6 +73,14 @@ def main(argv):
             temperature = res.get("sample_temperature", 1.0)
         if threshold is None:
             threshold = res.get("sample_threshold", 0.5)
+    if connect_isolated is None:
+        try:
+            with open(os.path.join(run_dir, "results.json")) as f:
+                connect_isolated = bool(
+                    json.load(f)["results"].get("sample_connect_isolated", False)
+                )
+        except Exception:
+            connect_isolated = False
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -84,17 +97,26 @@ def main(argv):
                                      {"ae": template["ae"]})
         params, step = {"ae": ae_p["ae"], "flow": template["flow"]}, 0
     if step_sel is not None:
-        # mid-run flow checkpoint: (flow_params, opt_state) tuple; the AE
-        # stays the end-of-run one (it is frozen through stage 2 anyway)
+        # mid-run flow checkpoint: (flow_params, opt_state[, ema]) tuple; the
+        # AE stays the end-of-run one (it is frozen through stage 2 anyway)
         from gnfx.train.loop import make_optimizer
 
         tx = make_optimizer(cfg.train.lr, cfg.train.lr_warmup,
                             cfg.train.grad_clip, cfg.train.num_steps,
                             cfg.train.weight_decay)
-        ck_template = (params["flow"], tx.init(params["flow"]))
-        (flow_p, _), step = restore_checkpoint(
-            os.path.join(run_dir, "ckpt"), ck_template, step=step_sel
-        )
+        use_ema = cfg.train.ema_decay > 0.0 and variant == "ema"
+        if use_ema:
+            ck_template = (params["flow"], tx.init(params["flow"]),
+                           params["flow"])
+            state, step = restore_checkpoint(
+                os.path.join(run_dir, "ckpt"), ck_template, step=step_sel
+            )
+            flow_p = state[2]
+        else:
+            ck_template = (params["flow"], tx.init(params["flow"]))
+            (flow_p, _), step = restore_checkpoint(
+                os.path.join(run_dir, "ckpt"), ck_template, step=step_sel
+            )
         params = {"ae": params["ae"], "flow": flow_p}
     print(f"[gnfx] loaded params at step {step} from {run_dir}", flush=True)
 
@@ -109,6 +131,7 @@ def main(argv):
     sampled = sample_graphs(params["flow"], cfg.flow, cfg.ae, n, size_dist,
                             max_nodes, seed=seed, temperature=temperature,
                             threshold=threshold,
+                            connect_isolated=connect_isolated,
                             batch_size=cfg.data.batch_size)
     dt = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
@@ -116,6 +139,7 @@ def main(argv):
     results["num_samples"] = n
     results["temperature"] = temperature
     results["threshold"] = threshold
+    results["connect_isolated"] = connect_isolated
     print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
     return results
 

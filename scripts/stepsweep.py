@@ -64,35 +64,51 @@ def main(argv):
     tx = make_optimizer(cfg.train.lr, cfg.train.lr_warmup, cfg.train.grad_clip,
                         cfg.train.num_steps, cfg.train.weight_decay)
     opt_t = tx.init(flow_t)
+    use_ema = cfg.train.ema_decay > 0.0
 
     out = []
     steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::every]
     for s in steps:
-        (flow_p, _), _ = restore_checkpoint(os.path.join(run_dir, "ckpt"),
-                                            (flow_t, opt_t), step=s)
-        best_t, best_thr, best_ci, best_score = 1.0, 0.5, False, float("inf")
-        for T in TEMPS:
-            for thr in THRESHOLDS:
-                for ci in (False, True):
-                    probe = sample_graphs(
-                        flow_p, cfg.flow, cfg.ae, 64, size_dist, max_n,
-                        seed=901, batch_size=cfg.data.batch_size,
-                        temperature=T, threshold=thr, connect_isolated=ci,
-                    )
-                    sc = (degree_stats(train_g, probe)
-                          + clustering_stats(train_g, probe)
-                          + orbit_stats(train_g, probe))
-                    if sc < best_score:
-                        best_t, best_thr, best_ci, best_score = T, thr, ci, sc
-        final = sample_graphs(flow_p, cfg.flow, cfg.ae, n_final, size_dist,
-                              max_n, seed=77, batch_size=cfg.data.batch_size,
-                              temperature=best_t, threshold=best_thr,
-                              connect_isolated=best_ci)
-        res = evaluate_generated(test_g, final)
-        rec = {"step": s, "temp": best_t, "threshold": best_thr,
-               "connect_isolated": best_ci, "train_score": round(best_score, 4),
-               **{k: (round(v, 4) if isinstance(v, float) else v)
-                  for k, v in res.items()}}
+        ckpt_dir = os.path.join(run_dir, "ckpt")
+        if use_ema:
+            # EMA runs checkpoint (params, opt_state, ema); compare both
+            state, _ = restore_checkpoint(ckpt_dir, (flow_t, opt_t, flow_t),
+                                          step=s)
+            variants = {"raw": state[0], "ema": state[2]}
+        else:
+            state, _ = restore_checkpoint(ckpt_dir, (flow_t, opt_t), step=s)
+            variants = {"raw": state[0]}
+        best = None
+        for vname, flow_p in variants.items():
+            best_t, best_thr, best_ci, best_score = 1.0, 0.5, False, float("inf")
+            for T in TEMPS:
+                for thr in THRESHOLDS:
+                    for ci in (False, True):
+                        probe = sample_graphs(
+                            flow_p, cfg.flow, cfg.ae, 64, size_dist, max_n,
+                            seed=901, batch_size=cfg.data.batch_size,
+                            temperature=T, threshold=thr, connect_isolated=ci,
+                        )
+                        sc = (degree_stats(train_g, probe)
+                              + clustering_stats(train_g, probe)
+                              + orbit_stats(train_g, probe))
+                        if sc < best_score:
+                            best_t, best_thr, best_ci, best_score = T, thr, ci, sc
+            final = sample_graphs(flow_p, cfg.flow, cfg.ae, n_final, size_dist,
+                                  max_n, seed=77, batch_size=cfg.data.batch_size,
+                                  temperature=best_t, threshold=best_thr,
+                                  connect_isolated=best_ci)
+            res = evaluate_generated(test_g, final)
+            rec = {"step": s, "variant": vname, "temp": best_t,
+                   "threshold": best_thr, "connect_isolated": best_ci,
+                   "train_score": round(best_score, 4),
+                   **{k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in res.items()}}
+            # report the variant that generalises better, selected on the
+            # TRAIN-split score (test metrics stay held-out)
+            if best is None or rec["train_score"] < best["train_score"]:
+                best = rec
+        rec = best
         out.append(rec)
         print("[sweep]", json.dumps(rec), flush=True)
 

@@ -163,6 +163,62 @@ def test_chunk_size_invariance(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_ema_chunk_invariance_and_checkpoint(tmp_path):
+    """With ema_decay on: (a) the EMA params are chunk-size invariant (EMA
+    updates per optimizer step inside the scan, not per dispatch), (b) the
+    checkpoint carries (params, opt_state, ema) so post-hoc selection can
+    compare raw vs EMA, (c) train_flow returns the EMA."""
+    import dataclasses
+    import jax
+
+    from gnfx.config import PRESETS
+    from gnfx.data import create_dataset, dataset_to_arrays
+    from gnfx.train.loop import train_flow
+
+    base = PRESETS["smoke"]
+    graphs, _, max_n = create_dataset("community-small", num_graphs=20)
+    adj, n_node = dataset_to_arrays(graphs, max_n)
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(adj.shape[0], max_n, 6)).astype(np.float32)
+
+    def run(k, d):
+        cfg = dataclasses.replace(
+            base,
+            flow=dataclasses.replace(base.flow, num_couplings=2, gnn_hidden=8,
+                                     gnn_rounds=1),
+            data=dataclasses.replace(base.data, batch_size=4),
+            train=dataclasses.replace(base.train, num_steps=14,
+                                      steps_per_call=k, checkpoint_every=10**9,
+                                      eval_every=10**9, checkpoint_dir=d,
+                                      ema_decay=0.9),
+        )
+        return cfg, train_flow(cfg, adj, n_node, None, embeddings=feats)
+
+    cfg1, e1 = run(1, str(tmp_path / "k1"))
+    _, e5 = run(5, str(tmp_path / "k5"))
+    for a, b in zip(jax.tree.leaves(e1), jax.tree.leaves(e5)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    # the final checkpoint holds the 3-tuple; ema leaf == returned value and
+    # differs from the raw params (decay 0.9 over 14 steps lags well behind)
+    from gnfx.models.flow import init_flow
+    from gnfx.train.loop import make_optimizer
+
+    t = init_flow(jax.random.PRNGKey(0), dataclasses.replace(
+        base.flow, num_couplings=2, gnn_hidden=8, gnn_rounds=1))
+    tx = make_optimizer(cfg1.train.lr, cfg1.train.lr_warmup,
+                        cfg1.train.grad_clip, cfg1.train.num_steps)
+    state, step = restore_checkpoint(str(tmp_path / "k1"), (t, tx.init(t), t))
+    assert step == 14
+    raw_l, ema_l = jax.tree.leaves(state[0]), jax.tree.leaves(state[2])
+    np.testing.assert_allclose(np.asarray(ema_l[0]),
+                               np.asarray(jax.tree.leaves(e1)[0]), rtol=1e-6)
+    assert any(
+        not np.allclose(np.asarray(r), np.asarray(e)) for r, e in zip(raw_l, ema_l)
+    )
+
+
 def test_config_round_trip():
     """from_dict(to_dict(cfg)) == cfg for every preset (generate.py relies
     on rebuilding configs from a run's config.json)."""
