@@ -65,17 +65,6 @@ def _log_q(x: jax.Array, mu: jax.Array, sigma, graph: GraphBatch) -> jax.Array:
     return jnp.sum(per * graph.node_mask[..., None], axis=(1, 2))
 
 
-def _particle_logw(flow_params, fcfg: FlowConfig, acfg: AEConfig,
-                   x: jax.Array, mu: jax.Array, sigma_q: float,
-                   graph_k: GraphBatch) -> jax.Array:
-    """log w = log p_flow(x) + log p(G|x) − log q(x|G), per particle."""
-    g_full = graph_k.fully_connected()
-    lp_flow = log_prob(flow_params, fcfg, x, g_full)
-    lp_edges = edge_log_lik(x, graph_k, acfg)
-    lq = _log_q(x, mu, sigma_q, graph_k)
-    return lp_flow + lp_edges - lq
-
-
 def iwae_log_prob(
     flow_params: dict,
     ae_params: dict,
@@ -88,21 +77,26 @@ def iwae_log_prob(
     *,
     sigma_q: float = 1.0,
 ) -> jax.Array:
-    """IWAE-K estimate of log p(G), particles sharded over 'data'."""
+    """IWAE-K estimate of log p(G), particles sharded over 'data'.
+
+    Proposal: a K-component MIXTURE q(x|G) = (1/K)·Σ_j N(encoder_j(G), σ_q²I)
+    where each component's mean is the frozen encoder run on an INDEPENDENT
+    draw of random node features. The posterior p(x|G) ∝ p_flow(x)·p(G|x) is
+    multimodal (every feature draw maps G to a different valid embedding) and
+    sharply peaked when decoder_c is large; a single-Gaussian proposal around
+    one draw misses the other modes and made the bound loose by thousands of
+    nats on community-small. The mixture's log-density is tractable
+    (logsumexp over the K gathered means), so this stays a valid IWAE bound
+    for any σ_q. Particle means live device-local; the mixture evaluation
+    `all_gather`s the K means over the data axis (tiny: K·N·D floats)."""
     n_dev = mesh.shape["data"]
     if num_particles % n_dev:
         raise ValueError(f"num_particles {num_particles} % data axis {n_dev} != 0")
     local_k = num_particles // n_dev
 
-    feats = ae.random_node_features(jax.random.fold_in(key, 0), graph,
-                                    acfg.feature_dim)
-    mu = ae.encode(ae_params, acfg, feats, graph)        # [1, N, D]
-
     graph_k = _tile_graph(graph, local_k)
-    mu_k = jnp.broadcast_to(mu, (local_k,) + mu.shape[1:])
-
     run = _iwae_runner(fcfg, acfg, num_particles, local_k, mesh)
-    return run(flow_params, mu_k, graph_k, jnp.float32(sigma_q),
+    return run(flow_params, ae_params, graph_k, jnp.float32(sigma_q),
                jax.random.fold_in(key, 1))
 
 
@@ -124,12 +118,31 @@ def _iwae_runner(fcfg, acfg, num_particles, local_k, mesh):
         out_specs=P(),
         check_vma=False,
     )
-    def run(flow_p, mu_k, graph_k, sigma_q, k):
+    def run(flow_p, ae_p, graph_k, sigma_q, k):
         dev = jax.lax.axis_index("data")
         kk = jax.random.fold_in(k, dev)
-        eps = jax.random.normal(kk, mu_k.shape) * graph_k.node_mask[..., None]
+        k_feat, k_eps = jax.random.split(kk)
+        # per-particle proposal means: independent encoder feature draws
+        feats = ae.random_node_features(k_feat, graph_k, acfg.feature_dim)
+        mu_k = ae.encode(ae_p, acfg, feats, graph_k)      # [k_local, N, D]
+        eps = jax.random.normal(k_eps, mu_k.shape) * graph_k.node_mask[..., None]
         x = mu_k + sigma_q * eps
-        logw = _particle_logw(flow_p, fcfg, acfg, x, mu_k, sigma_q, graph_k)
+
+        g_full = graph_k.fully_connected()
+        lp_flow = log_prob(flow_p, fcfg, x, g_full)
+        lp_edges = edge_log_lik(x, graph_k, acfg)
+
+        # mixture log q: logsumexp over ALL K global component means
+        mu_all = jax.lax.all_gather(mu_k, "data", tiled=True)  # [K, N, D]
+        mask = graph_k.node_mask[0][..., None]                 # [N, 1] (shared graph)
+        diff = (x[:, None] - mu_all[None]) * mask              # [k_local, K, N, D]
+        sq = jnp.sum(diff * diff, axis=(2, 3)) / (sigma_q * sigma_q)
+        dims = jnp.sum(graph_k.node_mask[0]) * x.shape[-1]     # n_real · D
+        log_norm = -0.5 * dims * (_LOG_2PI + 2.0 * jnp.log(sigma_q))
+        lq = (jax.nn.logsumexp(-0.5 * sq, axis=1) + log_norm
+              - math.log(num_particles))
+
+        logw = lp_flow + lp_edges - lq
         # global streaming logsumexp over the data axis
         m = jax.lax.pmax(jnp.max(logw), "data")
         s = jax.lax.psum(jnp.sum(jnp.exp(logw - m)), "data")
