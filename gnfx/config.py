@@ -33,6 +33,14 @@ class AEConfig:
     aggregation: str = "mean"
     message_mode: str = "sender"
     decoder_c: float = 10.0         # sharpness C in sigmoid(C(1 - d²))
+    # "dist": the reference's pure pairwise-distance decoder (SURVEY.md §2.3).
+    # "mlp": distance logit + a learned symmetric pair MLP correction
+    # (zero-initialised, so it starts exactly at the dist decoder). The MLP
+    # sees permutation-symmetric pair features [x_u + x_v, (x_u − x_v)²] and
+    # lowers the reconstruction ceiling (BASELINE.md: the AE ceiling, not the
+    # flow, binds community-small quality).
+    decoder: str = "dist"
+    decoder_hidden: int = 64
     train_steps: int = 3000
     lr: float = 1e-3
     pos_weight: float = 2.0         # BCE class weight on edges (sparse graphs)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from gnfx.config import AEConfig
 from gnfx.graph import GraphBatch
 from gnfx.ops.gnn import GNNConfig, apply_gnn, init_gnn
+from gnfx.ops.mlp import apply_mlp, init_mlp
 
 
 def encoder_gnn_config(cfg: AEConfig) -> GNNConfig:
@@ -38,7 +39,17 @@ def encoder_gnn_config(cfg: AEConfig) -> GNNConfig:
 
 
 def init_autoencoder(key: jax.Array, cfg: AEConfig) -> dict:
-    return {"encoder": init_gnn(key, encoder_gnn_config(cfg))}
+    k_enc, k_dec = jax.random.split(key)
+    params = {"encoder": init_gnn(k_enc, encoder_gnn_config(cfg))}
+    if cfg.decoder == "mlp":
+        # symmetric pair features [x_u + x_v, (x_u − x_v)²] -> logit
+        # correction; zero-init final layer => starts as the dist decoder
+        params["decoder"] = init_mlp(
+            k_dec,
+            [2 * cfg.embed_dim, cfg.decoder_hidden, cfg.decoder_hidden, 1],
+            final_zeros=True,
+        )
+    return params
 
 
 def random_node_features(key: jax.Array, graph: GraphBatch, feature_dim: int) -> jax.Array:
@@ -61,10 +72,26 @@ def pairwise_sq_dists(x: jax.Array) -> jax.Array:
     return jnp.maximum(d2, 0.0)
 
 
-def decode_edges(x: jax.Array, cfg: AEConfig) -> jax.Array:
-    """Edge probabilities f32[B, N, N] from embeddings."""
+def decode_edge_logits(params: dict | None, cfg: AEConfig, x: jax.Array) -> jax.Array:
+    """Edge logits f32[B, N, N] from embeddings.
+
+    Always includes the reference's distance term C(1 − d²) (SURVEY.md §2.3);
+    with cfg.decoder == "mlp" a learned symmetric pair-MLP correction is
+    added: MLP([x_u + x_v, (x_u − x_v)²]) — symmetric in (u, v) by
+    construction, so the decoded adjacency stays symmetric."""
     d2 = pairwise_sq_dists(x)
-    return jax.nn.sigmoid(cfg.decoder_c * (1.0 - d2))
+    logits = cfg.decoder_c * (1.0 - d2)
+    if cfg.decoder == "mlp":
+        s = x[:, :, None, :] + x[:, None, :, :]
+        q = jnp.square(x[:, :, None, :] - x[:, None, :, :])
+        h = jnp.concatenate([s, q], axis=-1)
+        logits = logits + apply_mlp(params["decoder"], h)[..., 0]
+    return logits
+
+
+def decode_edges(params: dict | None, cfg: AEConfig, x: jax.Array) -> jax.Array:
+    """Edge probabilities f32[B, N, N] from embeddings."""
+    return jax.nn.sigmoid(decode_edge_logits(params, cfg, x))
 
 
 def edge_pair_mask(graph: GraphBatch) -> jax.Array:
@@ -80,8 +107,7 @@ def reconstruction_loss(
 ) -> Tuple[jax.Array, dict]:
     """Class-weighted BCE over real node pairs; returns (loss, aux metrics)."""
     x = encode(params, cfg, feats, graph)
-    d2 = pairwise_sq_dists(x)
-    logits = cfg.decoder_c * (1.0 - d2)
+    logits = decode_edge_logits(params, cfg, x)
     labels = graph.adj
     mask = edge_pair_mask(graph)
     # numerically stable BCE-with-logits
@@ -100,8 +126,8 @@ def reconstruction_loss(
 
 
 def decode_to_adjacency(
-    x: jax.Array, cfg: AEConfig, graph: GraphBatch, threshold: float = 0.5,
-    connect_isolated: bool = False,
+    params: dict | None, cfg: AEConfig, x: jax.Array, graph: GraphBatch,
+    threshold: float = 0.5, connect_isolated: bool = False,
 ) -> jax.Array:
     """Hard symmetric adjacency from embeddings: threshold Â on real pairs
     (SURVEY.md §3c; 0.5 is the reference's rule — the sampler may select the
@@ -113,7 +139,7 @@ def decode_to_adjacency(
     isolated by the threshold gets one edge to its nearest neighbor in
     embedding distance. Off by default; selected on the train split like
     temperature/threshold."""
-    probs = decode_edges(x, cfg)
+    probs = decode_edges(params, cfg, x)
     pair = graph.node_mask[:, :, None] * graph.node_mask[:, None, :]
     eye = jnp.eye(graph.max_nodes)[None]
     valid = pair * (1.0 - eye)

@@ -24,6 +24,7 @@ from gnfx.sample import sample_batch_device
 
 def sample_graphs_sharded(
     flow_params: dict,
+    ae_params: dict | None,
     fcfg: FlowConfig,
     acfg: AEConfig,
     num_samples: int,
@@ -60,7 +61,7 @@ def sample_graphs_sharded(
         )
         n_node = jax.device_put(jnp.asarray(chunk_p), batch_sharding)
         adj = sample_batch_device(
-            flow_params, fcfg, acfg, jax.random.fold_in(key, start),
+            flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             n_node, max_nodes, temperature, threshold,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]

@@ -42,11 +42,11 @@ from gnfx.models.flow import FlowConfig, log_prob
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def edge_log_lik(x: jax.Array, graph: GraphBatch, acfg: AEConfig) -> jax.Array:
+def edge_log_lik(ae_params: dict | None, x: jax.Array, graph: GraphBatch,
+                 acfg: AEConfig) -> jax.Array:
     """log p(G | x) per batch element: Bernoulli log-likelihood of the true
-    adjacency under the pairwise-distance decoder, over real pairs u<v."""
-    d2 = ae.pairwise_sq_dists(x)
-    logits = acfg.decoder_c * (1.0 - d2)
+    adjacency under the edge decoder, over real pairs u<v."""
+    logits = ae.decode_edge_logits(ae_params, acfg, x)
     labels = graph.adj
     # log σ(l)·A + log σ(−l)·(1−A)  =  −softplus(−l)·A − softplus(l)·(1−A)
     ll = -jax.nn.softplus(-logits) * labels - jax.nn.softplus(logits) * (1.0 - labels)
@@ -130,7 +130,7 @@ def _iwae_runner(fcfg, acfg, num_particles, local_k, mesh):
 
         g_full = graph_k.fully_connected()
         lp_flow = log_prob(flow_p, fcfg, x, g_full)
-        lp_edges = edge_log_lik(x, graph_k, acfg)
+        lp_edges = edge_log_lik(ae_p, x, graph_k, acfg)
 
         # mixture log q: logsumexp over ALL K global component means
         mu_all = jax.lax.all_gather(mu_k, "data", tiled=True)  # [K, N, D]
@@ -195,7 +195,7 @@ def smc_log_prob(
 
     def target_logp(flow_p, x, beta):
         return (log_prob(flow_p, fcfg, x, g_full_k)
-                + beta * edge_log_lik(x, graph_k, acfg))
+                + beta * edge_log_lik(ae_params, x, graph_k, acfg))
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -220,7 +220,7 @@ def smc_log_prob(
             x, logw, logz = carry
             beta_prev, beta, k_s = inp
             # incremental weight: p(G|x)^{Δβ}
-            inc = (beta - beta_prev) * edge_log_lik(x, graph_k, acfg)
+            inc = (beta - beta_prev) * edge_log_lik(ae_params, x, graph_k, acfg)
             new_logw = logw + inc
             m = jax.lax.pmax(jnp.max(new_logw), "data")
             s = jax.lax.psum(jnp.sum(jnp.exp(new_logw - m)), "data")

@@ -28,6 +28,7 @@ from gnfx.models.flow import FlowConfig, flow_inverse
                                     "threshold", "connect_isolated"))
 def sample_batch_device(
     flow_params: dict,
+    ae_params: dict | None,
     fcfg: FlowConfig,
     acfg: AEConfig,
     key: jax.Array,
@@ -45,11 +46,13 @@ def sample_batch_device(
                     node_mask=mask, n_node=n_node).fully_connected()
     z = temperature * jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
-    return ae.decode_to_adjacency(x, acfg, gb, threshold, connect_isolated)
+    return ae.decode_to_adjacency(ae_params, acfg, x, gb, threshold,
+                                  connect_isolated)
 
 
 def sample_graphs(
     flow_params: dict,
+    ae_params: dict | None,
     fcfg: FlowConfig,
     acfg: AEConfig,
     num_samples: int,
@@ -75,7 +78,7 @@ def sample_graphs(
         pad = batch_size - len(chunk)
         chunk_p = np.concatenate([chunk, np.full(pad, min_nodes, np.int32)]) if pad else chunk
         adj = sample_batch_device(
-            flow_params, fcfg, acfg, jax.random.fold_in(key, start),
+            flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
             connect_isolated,
         )

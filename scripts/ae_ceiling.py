@@ -1,0 +1,76 @@
+"""AE reconstruction-ceiling measurement (CPU-friendly).
+
+Usage:
+    python scripts/ae_ceiling.py <preset> [ae.key=value ...]
+
+Encodes + decodes the HELD-OUT test graphs (no flow involved) and reports
+the MMD protocol of the reconstructions vs the originals. This is an upper
+bound on generation quality for the two-stage pipeline (BASELINE.md quality
+note: the AE ceiling, not the flow, bound community-small in rounds 1-2) —
+measure it before spending flow steps on a new AE config.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from gnfx.config import load_config
+from gnfx.data import create_dataset, dataset_to_arrays
+from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
+from gnfx.graph import arrays_to_networkx, batch_from_dense
+from gnfx.models import autoencoder as ae
+from gnfx.train.loop import train_autoencoder
+
+
+def main(argv):
+    cfg = load_config(argv)
+    train_g, test_g, max_n = create_dataset(
+        cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
+    )
+    adj_tr, n_tr = dataset_to_arrays(train_g, max_n)
+    adj_te, n_te = dataset_to_arrays(test_g, max_n)
+
+    t0 = time.time()
+    params = train_autoencoder(cfg, adj_tr, n_tr)
+    train_s = time.time() - t0
+
+    gb = batch_from_dense(adj_te, n_te)
+    # held-out BCE at one feature draw, for decoder comparisons
+    feats0 = ae.random_node_features(jax.random.PRNGKey(99), gb,
+                                     cfg.ae.feature_dim)
+    bce, _ = ae.reconstruction_loss(params, cfg.ae, feats0, gb)
+    mmds = []
+    for s in range(3):  # average over encoder feature draws
+        feats = ae.random_node_features(jax.random.PRNGKey(s), gb,
+                                        cfg.ae.feature_dim)
+        emb = ae.encode(params, cfg.ae, feats, gb)
+        probs = np.asarray(ae.decode_edges(params, cfg.ae, emb))
+        a = (np.triu(probs > 0.5, 1)).astype(np.float32)
+        a = a + a.transpose(0, 2, 1)
+        recon = arrays_to_networkx(a, np.asarray(n_te))
+        mmds.append((degree_stats(test_g, recon),
+                     clustering_stats(test_g, recon),
+                     orbit_stats(test_g, recon),
+                     float(np.mean([g.number_of_edges() for g in recon]))))
+    m = np.mean(np.array(mmds), axis=0)
+    out = {"preset": cfg.name, "decoder": cfg.ae.decoder,
+           "decoder_c": cfg.ae.decoder_c, "embed_dim": cfg.ae.embed_dim,
+           "ae_steps": cfg.ae.train_steps,
+           "deg": round(float(m[0]), 4), "clus": round(float(m[1]), 4),
+           "orb": round(float(m[2]), 4), "mean_edges": round(float(m[3]), 1),
+           "true_mean_edges": round(
+               float(np.mean([g.number_of_edges() for g in test_g])), 1),
+           "heldout_bce": round(float(bce), 4),
+           "train_s": round(train_s, 1)}
+    print("[ceiling]", json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -68,11 +68,12 @@ def bench_sampling(mesh, fcfg, acfg, params, per_dev_batch, max_n):
     size_dist /= size_dist.sum()
     n = per_dev_batch * mesh.shape["data"] * 4
     # warmup (compile)
-    sample_graphs_sharded(params, fcfg, acfg, per_dev_batch * mesh.shape["data"],
+    sample_graphs_sharded(params, None, fcfg, acfg,
+                          per_dev_batch * mesh.shape["data"],
                           size_dist, max_n, mesh, per_device_batch=per_dev_batch)
     t0 = time.perf_counter()
-    graphs = sample_graphs_sharded(params, fcfg, acfg, n, size_dist, max_n,
-                                   mesh, per_device_batch=per_dev_batch)
+    graphs = sample_graphs_sharded(params, None, fcfg, acfg, n, size_dist,
+                                   max_n, mesh, per_device_batch=per_dev_batch)
     return len(graphs) / (time.perf_counter() - t0)
 
 

@@ -128,7 +128,8 @@ def main(argv):
     n = num_samples or max(len(test_graphs) * 4, 64)
 
     t0 = time.time()
-    sampled = sample_graphs(params["flow"], cfg.flow, cfg.ae, n, size_dist,
+    sampled = sample_graphs(params["flow"], params["ae"], cfg.flow, cfg.ae, n,
+                            size_dist,
                             max_nodes, seed=seed, temperature=temperature,
                             threshold=threshold,
                             connect_isolated=connect_isolated,

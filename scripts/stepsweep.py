@@ -85,8 +85,8 @@ def main(argv):
                 for thr in THRESHOLDS:
                     for ci in (False, True):
                         probe = sample_graphs(
-                            flow_p, cfg.flow, cfg.ae, 64, size_dist, max_n,
-                            seed=901, batch_size=cfg.data.batch_size,
+                            flow_p, ae_p, cfg.flow, cfg.ae, 64, size_dist,
+                            max_n, seed=901, batch_size=cfg.data.batch_size,
                             temperature=T, threshold=thr, connect_isolated=ci,
                         )
                         sc = (degree_stats(train_g, probe)
@@ -94,8 +94,9 @@ def main(argv):
                               + orbit_stats(train_g, probe))
                         if sc < best_score:
                             best_t, best_thr, best_ci, best_score = T, thr, ci, sc
-            final = sample_graphs(flow_p, cfg.flow, cfg.ae, n_final, size_dist,
-                                  max_n, seed=77, batch_size=cfg.data.batch_size,
+            final = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, n_final,
+                                  size_dist, max_n, seed=77,
+                                  batch_size=cfg.data.batch_size,
                                   temperature=best_t, threshold=best_thr,
                                   connect_isolated=best_ci)
             res = evaluate_generated(test_g, final)

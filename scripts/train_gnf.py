@@ -94,8 +94,8 @@ def main(argv):
             # temperature grid and log each point
             for temp in (1.0, 0.8, 0.6):
                 probe = sample_graphs(
-                    flow_params, cfg.flow, cfg.ae, cfg.train.eval_samples,
-                    probe_dist, max_nodes, seed=777,
+                    flow_params, ae_params, cfg.flow, cfg.ae,
+                    cfg.train.eval_samples, probe_dist, max_nodes, seed=777,
                     batch_size=cfg.data.batch_size, temperature=temp,
                 )
                 metrics.write(
@@ -130,8 +130,9 @@ def main(argv):
         for thr in (0.3, 0.5, 0.7):
             for ci in (False, True):
                 probe = sample_graphs(
-                    flow_params, cfg.flow, cfg.ae, 64, size_dist, max_nodes,
-                    seed=cfg.train.seed + 100, batch_size=cfg.data.batch_size,
+                    flow_params, ae_params, cfg.flow, cfg.ae, 64, size_dist,
+                    max_nodes, seed=cfg.train.seed + 100,
+                    batch_size=cfg.data.batch_size,
                     temperature=temp, threshold=thr, connect_isolated=ci,
                 )
                 score = (degree_stats(train_graphs, probe)
@@ -146,8 +147,8 @@ def main(argv):
     t0 = time.time()
     num_samples = max(len(test_graphs) * 4, 64)
     sampled = sample_graphs(
-        flow_params, cfg.flow, cfg.ae, num_samples, size_dist, max_nodes,
-        seed=cfg.train.seed, batch_size=cfg.data.batch_size,
+        flow_params, ae_params, cfg.flow, cfg.ae, num_samples, size_dist,
+        max_nodes, seed=cfg.train.seed, batch_size=cfg.data.batch_size,
         temperature=best_temp, threshold=best_thr, connect_isolated=best_ci,
     )
     sample_time = time.time() - t0

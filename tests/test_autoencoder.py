@@ -21,14 +21,69 @@ def _batch(key, bsz=3, max_n=8):
 def test_decoder_symmetry_and_range():
     cfg = AEConfig(embed_dim=6, feature_dim=6)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 6))
-    probs = ae.decode_edges(x, cfg)
+    probs = ae.decode_edges(None, cfg, x)
     p = np.asarray(probs)
     np.testing.assert_allclose(p, np.transpose(p, (0, 2, 1)), atol=1e-6)
     assert p.min() >= 0.0 and p.max() <= 1.0
     # identical embeddings -> distance 0 -> prob sigmoid(C) ~ 1
     x_same = jnp.zeros((1, 4, 6))
-    p_same = np.asarray(ae.decode_edges(x_same, cfg))
+    p_same = np.asarray(ae.decode_edges(None, cfg, x_same))
     assert p_same.min() > 0.99
+
+
+def test_mlp_decoder_symmetric_and_starts_at_dist():
+    cfg = AEConfig(embed_dim=6, feature_dim=6, decoder="mlp", decoder_hidden=16)
+    params = ae.init_autoencoder(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 6))
+    # zero-init final layer: mlp decoder starts exactly at the dist decoder
+    dist_cfg = AEConfig(embed_dim=6, feature_dim=6)
+    np.testing.assert_allclose(
+        np.asarray(ae.decode_edge_logits(params, cfg, x)),
+        np.asarray(ae.decode_edge_logits(None, dist_cfg, x)), atol=1e-6)
+    # after perturbing the decoder weights it must stay symmetric in (u, v)
+    params["decoder"]["w"][-1] = jnp.ones_like(params["decoder"]["w"][-1])
+    lg = np.asarray(ae.decode_edge_logits(params, cfg, x))
+    np.testing.assert_allclose(lg, np.transpose(lg, (0, 2, 1)), atol=1e-5)
+
+
+def test_mlp_decoder_learns_better_than_dist():
+    # a fixed embedding whose edge rule is NOT a pure distance threshold:
+    # only the decoder trains, so the mlp decoder must strictly beat dist
+    import optax
+
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (4, 8, 6))
+    # label rule uses one coordinate's product sign — invisible to distance
+    lab = (x[:, :, None, 0] * x[:, None, :, 0] > 0).astype(jnp.float32)
+    lab = lab * (1.0 - jnp.eye(8)[None])
+    gb = batch_from_dense(lab, jnp.full((4,), 8, jnp.int32))
+
+    def fit(cfg):
+        params = ae.init_autoencoder(jax.random.PRNGKey(10), cfg)
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            def loss_fn(p):
+                logits = ae.decode_edge_logits(p, cfg, x)
+                m = ae.edge_pair_mask(gb)
+                per = (jnp.maximum(logits, 0.0) - logits * lab
+                       + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+                return jnp.sum(per * m) / jnp.sum(m)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        for _ in range(300):
+            params, opt, loss = step(params, opt)
+        return float(loss)
+
+    dist_loss = fit(AEConfig(embed_dim=6, feature_dim=6))
+    mlp_loss = fit(AEConfig(embed_dim=6, feature_dim=6, decoder="mlp",
+                            decoder_hidden=32))
+    assert mlp_loss < 0.5 * dist_loss, (dist_loss, mlp_loss)
 
 
 def test_pairwise_sq_dists_matches_direct():
@@ -69,7 +124,7 @@ def test_decode_to_adjacency_masked_symmetric():
     cfg = AEConfig(embed_dim=4, feature_dim=4)
     gb = _batch(jax.random.PRNGKey(5))
     x = jax.random.normal(jax.random.PRNGKey(6), (3, 8, 4)) * gb.node_mask[..., None]
-    hard = np.asarray(ae.decode_to_adjacency(x, cfg, gb))
+    hard = np.asarray(ae.decode_to_adjacency(None, cfg, x, gb))
     np.testing.assert_array_equal(hard, np.transpose(hard, (0, 2, 1)))
     assert np.all(np.diagonal(hard, axis1=1, axis2=2) == 0)
     m = np.asarray(gb.node_mask)

@@ -189,5 +189,5 @@ def test_edge_log_lik_perfect_embedding():
     adj = jnp.array([[[0.0, 1.0], [1.0, 0.0]]])
     gb = batch_from_dense(adj, jnp.array([2]))
     x = jnp.zeros((1, 2, 2))
-    ll = float(edge_log_lik(x, gb, acfg)[0])
+    ll = float(edge_log_lik(None, x, gb, acfg)[0])
     assert ll > -1e-3
