@@ -128,11 +128,17 @@ def reconstruction_loss(
 def decode_to_adjacency(
     params: dict | None, cfg: AEConfig, x: jax.Array, graph: GraphBatch,
     threshold: float = 0.5, connect_isolated: bool = False,
+    key: jax.Array | None = None,
 ) -> jax.Array:
-    """Hard symmetric adjacency from embeddings: threshold Â on real pairs
-    (SURVEY.md §3c; 0.5 is the reference's rule — the sampler may select the
-    threshold on the train split as a generation hyperparameter alongside
-    temperature, which calibrates edge density).
+    """Hard symmetric adjacency from embeddings.
+
+    With `key=None`: threshold Â on real pairs (SURVEY.md §3c; 0.5 is the
+    reference's rule — the sampler may select the threshold on the train
+    split as a generation hyperparameter alongside temperature, which
+    calibrates edge density). With a `key`: sample each unordered pair
+    A_uv ~ Bernoulli(Â_uv) — the model-consistent decode (the generative
+    model is p(x)·p(G|x) with Bernoulli edges; thresholding is its mode
+    approximation), offered to the same train-split selection.
 
     `connect_isolated` conditions the decode on the data distribution's
     support (every training graph has min degree ≥ 1): any real node left
@@ -143,8 +149,13 @@ def decode_to_adjacency(
     pair = graph.node_mask[:, :, None] * graph.node_mask[:, None, :]
     eye = jnp.eye(graph.max_nodes)[None]
     valid = pair * (1.0 - eye)
-    hard = (probs > threshold).astype(jnp.float32) * valid
-    # symmetrise (decoder is symmetric by construction, but be safe)
+    if key is None:
+        hard = (probs > threshold).astype(jnp.float32) * valid
+    else:
+        u = jax.random.uniform(key, probs.shape)
+        hard = (u < probs).astype(jnp.float32) * valid
+        hard = jnp.triu(hard, k=1)  # one draw per unordered pair
+    # symmetrise (threshold decode is symmetric by construction, but be safe)
     hard = jnp.maximum(hard, jnp.transpose(hard, (0, 2, 1)))
     if connect_isolated:
         d2 = pairwise_sq_dists(x) + 1e9 * (1.0 - valid)

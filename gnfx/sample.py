@@ -25,7 +25,8 @@ from gnfx.models.flow import FlowConfig, flow_inverse
 
 @functools.partial(jax.jit,
                    static_argnames=("fcfg", "acfg", "max_nodes", "temperature",
-                                    "threshold", "connect_isolated"))
+                                    "threshold", "connect_isolated",
+                                    "edge_sample"))
 def sample_batch_device(
     flow_params: dict,
     ae_params: dict | None,
@@ -37,17 +38,23 @@ def sample_batch_device(
     temperature: float = 1.0,
     threshold: float = 0.5,
     connect_isolated: bool = False,
+    edge_sample: bool = False,
 ) -> jax.Array:
-    """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N]."""
+    """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N].
+
+    `edge_sample=True` draws A_uv ~ Bernoulli(Â_uv) instead of thresholding
+    (the model-consistent decode; see decode_to_adjacency)."""
     bsz = n_node.shape[0]
     mask = make_node_mask(n_node, max_nodes)
     nodes = jnp.zeros((bsz, max_nodes, fcfg.node_dim), jnp.float32)
     gb = GraphBatch(nodes=nodes, adj=jnp.zeros((bsz, max_nodes, max_nodes)),
                     node_mask=mask, n_node=n_node).fully_connected()
-    z = temperature * jax.random.normal(key, nodes.shape, jnp.float32) * mask[..., None]
+    k_z, k_edge = jax.random.split(key)
+    z = temperature * jax.random.normal(k_z, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
     return ae.decode_to_adjacency(ae_params, acfg, x, gb, threshold,
-                                  connect_isolated)
+                                  connect_isolated,
+                                  key=k_edge if edge_sample else None)
 
 
 def sample_graphs(
@@ -65,6 +72,7 @@ def sample_graphs(
     temperature: float = 1.0,
     threshold: float = 0.5,
     connect_isolated: bool = False,
+    edge_sample: bool = False,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -80,7 +88,7 @@ def sample_graphs(
         adj = sample_batch_device(
             flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
-            connect_isolated,
+            connect_isolated, edge_sample,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         out.extend(arrays_to_networkx(adj_np, chunk))

@@ -62,25 +62,22 @@ def main(argv):
     else:
         cfg = PRESETS[preset]
         run_dir = os.path.join("runs", cfg.name)
-    if temperature is None or threshold is None:
-        # default to the run's train-split-selected sampling hyperparameters
-        try:
-            with open(os.path.join(run_dir, "results.json")) as f:
-                res = json.load(f)["results"]
-        except Exception:
-            res = {}
-        if temperature is None:
-            temperature = res.get("sample_temperature", 1.0)
-        if threshold is None:
-            threshold = res.get("sample_threshold", 0.5)
+    # default to the run's train-split-selected sampling hyperparameters
+    try:
+        with open(os.path.join(run_dir, "results.json")) as f:
+            res = json.load(f)["results"]
+    except Exception:
+        res = {}
+    if temperature is None:
+        temperature = res.get("sample_temperature", 1.0)
+    if threshold is None:
+        threshold = res.get("sample_threshold", 0.5)
     if connect_isolated is None:
-        try:
-            with open(os.path.join(run_dir, "results.json")) as f:
-                connect_isolated = bool(
-                    json.load(f)["results"].get("sample_connect_isolated", False)
-                )
-        except Exception:
-            connect_isolated = False
+        connect_isolated = bool(res.get("sample_connect_isolated", False))
+    edge_sample = bool(res.get("sample_edge_sample", False))
+    for a in argv:
+        if a.startswith("edge_sample="):
+            edge_sample = a.split("=")[1].lower() in ("1", "true", "yes")
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -133,6 +130,7 @@ def main(argv):
                             max_nodes, seed=seed, temperature=temperature,
                             threshold=threshold,
                             connect_isolated=connect_isolated,
+                            edge_sample=edge_sample,
                             batch_size=cfg.data.batch_size)
     dt = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
@@ -141,6 +139,7 @@ def main(argv):
     results["temperature"] = temperature
     results["threshold"] = threshold
     results["connect_isolated"] = connect_isolated
+    results["edge_sample"] = edge_sample
     print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
     return results
 

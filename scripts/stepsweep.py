@@ -31,7 +31,9 @@ from gnfx.train.checkpoint import _ckpt_steps, restore_checkpoint
 from gnfx.train.loop import make_optimizer
 
 TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
-THRESHOLDS = (0.3, 0.5, 0.7)
+# (threshold, edge_sample): hard thresholds + Bernoulli edge sampling (the
+# model-consistent decode; see gnfx.models.autoencoder.decode_to_adjacency)
+DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.5, True))
 
 
 def main(argv):
@@ -80,28 +82,33 @@ def main(argv):
             variants = {"raw": state[0]}
         best = None
         for vname, flow_p in variants.items():
-            best_t, best_thr, best_ci, best_score = 1.0, 0.5, False, float("inf")
+            best_t, best_thr, best_ci, best_es = 1.0, 0.5, False, False
+            best_score = float("inf")
             for T in TEMPS:
-                for thr in THRESHOLDS:
+                for thr, es in DECODES:
                     for ci in (False, True):
                         probe = sample_graphs(
                             flow_p, ae_p, cfg.flow, cfg.ae, 64, size_dist,
                             max_n, seed=901, batch_size=cfg.data.batch_size,
                             temperature=T, threshold=thr, connect_isolated=ci,
+                            edge_sample=es,
                         )
                         sc = (degree_stats(train_g, probe)
                               + clustering_stats(train_g, probe)
                               + orbit_stats(train_g, probe))
                         if sc < best_score:
-                            best_t, best_thr, best_ci, best_score = T, thr, ci, sc
+                            best_t, best_thr, best_ci, best_es, best_score = (
+                                T, thr, ci, es, sc)
             final = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, n_final,
                                   size_dist, max_n, seed=77,
                                   batch_size=cfg.data.batch_size,
                                   temperature=best_t, threshold=best_thr,
-                                  connect_isolated=best_ci)
+                                  connect_isolated=best_ci,
+                                  edge_sample=best_es)
             res = evaluate_generated(test_g, final)
             rec = {"step": s, "variant": vname, "temp": best_t,
                    "threshold": best_thr, "connect_isolated": best_ci,
+                   "edge_sample": best_es,
                    "train_score": round(best_score, 4),
                    **{k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in res.items()}}

@@ -125,24 +125,29 @@ def main(argv):
     size_dist = empirical_size_distribution(n_tr, max_nodes)
     from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
 
-    best_temp, best_thr, best_ci, best_score = 1.0, 0.5, False, float("inf")
+    # decode candidates: thresholds (reference rule, density calibration) +
+    # Bernoulli edge sampling (model-consistent decode)
+    decodes = [(0.3, False), (0.5, False), (0.7, False), (0.5, True)]
+    best_temp, best_thr, best_ci, best_es = 1.0, 0.5, False, False
+    best_score = float("inf")
     for temp in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
-        for thr in (0.3, 0.5, 0.7):
+        for thr, es in decodes:
             for ci in (False, True):
                 probe = sample_graphs(
                     flow_params, ae_params, cfg.flow, cfg.ae, 64, size_dist,
                     max_nodes, seed=cfg.train.seed + 100,
                     batch_size=cfg.data.batch_size,
                     temperature=temp, threshold=thr, connect_isolated=ci,
+                    edge_sample=es,
                 )
                 score = (degree_stats(train_graphs, probe)
                          + clustering_stats(train_graphs, probe)
                          + orbit_stats(train_graphs, probe))
-                print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)}: "
-                      f"train-split MMD score {score:.3f}", flush=True)
+                print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)} es {int(es)}:"
+                      f" train-split MMD score {score:.3f}", flush=True)
                 if score < best_score:
-                    best_temp, best_thr, best_ci, best_score = (
-                        temp, thr, ci, score)
+                    best_temp, best_thr, best_ci, best_es, best_score = (
+                        temp, thr, ci, es, score)
 
     t0 = time.time()
     num_samples = max(len(test_graphs) * 4, 64)
@@ -150,6 +155,7 @@ def main(argv):
         flow_params, ae_params, cfg.flow, cfg.ae, num_samples, size_dist,
         max_nodes, seed=cfg.train.seed, batch_size=cfg.data.batch_size,
         temperature=best_temp, threshold=best_thr, connect_isolated=best_ci,
+        edge_sample=best_es,
     )
     sample_time = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
@@ -158,6 +164,7 @@ def main(argv):
     results["sample_temperature"] = best_temp
     results["sample_threshold"] = best_thr
     results["sample_connect_isolated"] = best_ci
+    results["sample_edge_sample"] = best_es
 
     # importance-weighted held-out NLL of full graphs (particle-sharded
     # IWAE over the device mesh — BASELINE "held-out NLL" metric)

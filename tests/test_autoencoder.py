@@ -120,6 +120,27 @@ def test_reconstruction_loss_decreases():
     assert float(loss) < 0.7 * first, (first, float(loss))
 
 
+def test_decode_to_adjacency_bernoulli_sampling():
+    cfg = AEConfig(embed_dim=4, feature_dim=4, decoder_c=1.0)
+    gb = _batch(jax.random.PRNGKey(11))
+    x = jax.random.normal(jax.random.PRNGKey(12), (3, 8, 4)) * gb.node_mask[..., None]
+    hard = np.asarray(ae.decode_to_adjacency(None, cfg, x, gb,
+                                             key=jax.random.PRNGKey(13)))
+    np.testing.assert_array_equal(hard, np.transpose(hard, (0, 2, 1)))
+    assert np.all(np.diagonal(hard, axis1=1, axis2=2) == 0)
+    m = np.asarray(gb.node_mask)
+    assert np.all(hard * (1 - m[:, :, None]) == 0)
+    assert set(np.unique(hard)) <= {0.0, 1.0}
+    # calibration: mean sampled edge rate over many draws ~ mean probability
+    probs = np.asarray(ae.decode_edges(None, cfg, x))
+    pm = np.asarray(ae.edge_pair_mask(gb))
+    draws = [np.asarray(ae.decode_to_adjacency(
+        None, cfg, x, gb, key=jax.random.PRNGKey(100 + i))) for i in range(64)]
+    rate = np.mean([np.sum(d * pm) / np.sum(pm) for d in draws])
+    expect = np.sum(probs * pm) / np.sum(pm)
+    assert abs(rate - expect) < 0.05, (rate, expect)
+
+
 def test_decode_to_adjacency_masked_symmetric():
     cfg = AEConfig(embed_dim=4, feature_dim=4)
     gb = _batch(jax.random.PRNGKey(5))
