@@ -38,12 +38,14 @@ DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.5, True))
 
 def main(argv):
     run = argv[0] if argv and "=" not in argv[0] else "community-small"
-    num_samples, every = None, 1
+    num_samples, every, only_steps = None, 1, None
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
         elif a.startswith("every="):
             every = int(a.split("=")[1])
+        elif a.startswith("steps="):   # comma-list of exact checkpoint steps
+            only_steps = {int(s) for s in a.split("=")[1].split(",")}
 
     run_dir = os.path.join("runs", run)
     with open(os.path.join(run_dir, "config.json")) as f:
@@ -70,6 +72,8 @@ def main(argv):
 
     out = []
     steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::every]
+    if only_steps is not None:
+        steps = [s for s in steps if s in only_steps]
     for s in steps:
         ckpt_dir = os.path.join(run_dir, "ckpt")
         if use_ema:
@@ -120,7 +124,8 @@ def main(argv):
         out.append(rec)
         print("[sweep]", json.dumps(rec), flush=True)
 
-    with open(os.path.join(run_dir, "stepsweep.json"), "w") as f:
+    fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
+    with open(os.path.join(run_dir, fname), "w") as f:
         json.dump(out, f, indent=2)
     best = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"] + r["mmd_orbit"])
     print("[sweep] BEST", json.dumps(best), flush=True)
