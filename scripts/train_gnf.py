@@ -91,15 +91,18 @@ def main(argv):
         def on_eval(step, flow_params):
             # quality is strongly temperature-dependent (sharp decoders make
             # edge formation sensitive to embedding spread), so probe a small
-            # temperature grid and log each point
-            for temp in (1.0, 0.8, 0.6):
+            # temperature grid — plus one Bernoulli edge-sampling point (the
+            # model-consistent decode often wins the final selection)
+            for temp, es in ((1.0, False), (0.8, False), (0.6, False),
+                             (0.9, True)):
                 probe = sample_graphs(
                     flow_params, ae_params, cfg.flow, cfg.ae,
                     cfg.train.eval_samples, probe_dist, max_nodes, seed=777,
                     batch_size=cfg.data.batch_size, temperature=temp,
+                    edge_sample=es,
                 )
                 metrics.write(
-                    step, stage="quality", temperature=temp,
+                    step, stage="quality", temperature=temp, edge_sample=es,
                     mmd_degree=_dstats(test_graphs, probe),
                     mmd_clustering=_cstats(test_graphs, probe),
                     mean_edges=float(
