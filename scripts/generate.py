@@ -31,7 +31,10 @@ from gnfx.sample import sample_graphs
 from gnfx.train.checkpoint import restore_checkpoint
 
 
-def main(argv):
+def load_run(argv):
+    """Parse CLI args, restore params (optionally a mid-run checkpoint), and
+    resolve the run's train-split-selected sampling hyperparameters.
+    Returns (cfg, params, step, sampling, num_samples, seed)."""
     preset = "community-small"
     num_samples, seed, temperature, step_sel, threshold = None, 0, None, None, None
     connect_isolated, variant = None, "ema"
@@ -116,6 +119,18 @@ def main(argv):
             )
         params = {"ae": params["ae"], "flow": flow_p}
     print(f"[gnfx] loaded params at step {step} from {run_dir}", flush=True)
+    sampling = {"temperature": temperature, "threshold": threshold,
+                "connect_isolated": connect_isolated,
+                "edge_sample": edge_sample}
+    return cfg, params, step, sampling, num_samples, seed
+
+
+def main(argv):
+    cfg, params, step, sampling, num_samples, seed = load_run(argv)
+    temperature = sampling["temperature"]
+    threshold = sampling["threshold"]
+    connect_isolated = sampling["connect_isolated"]
+    edge_sample = sampling["edge_sample"]
 
     train_graphs, test_graphs, max_nodes = create_dataset(
         cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
