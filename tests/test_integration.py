@@ -1,23 +1,38 @@
 """End-to-end integration (SURVEY.md §4.5): a tiny two-stage run on
-community-small must decrease NLL and produce non-degenerate samples.
-CPU-runnable (BASELINE config 1)."""
+community-small must decrease NLL and produce non-degenerate samples, and
+the post-hoc analysis tools (generate / stepsweep / eval_ci) must drive
+that run's artifacts. CPU-runnable (BASELINE config 1)."""
 
+import importlib
 import json
 import os
+import sys
 
 import numpy as np
 import pytest
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+@pytest.fixture(scope="module")
+def smoke_run(tmp_path_factory):
+    """Train the smoke pipeline once; yield (run_cwd, results)."""
+    cwd = tmp_path_factory.mktemp("smoke_e2e")
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        train_gnf = importlib.import_module("train_gnf")
+        results = train_gnf.main(
+            ["smoke", "train.num_steps=150", "ae.train_steps=150"])
+    finally:
+        os.chdir(old)
+    return cwd, results
+
 
 @pytest.mark.slow
-def test_smoke_pipeline(tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    import importlib
-    train_gnf = importlib.import_module("train_gnf")
-
-    results = train_gnf.main(["smoke", "train.num_steps=150", "ae.train_steps=150"])
+def test_smoke_pipeline(smoke_run, monkeypatch):
+    cwd, results = smoke_run
+    monkeypatch.chdir(cwd)
     # sanity: structurally non-degenerate samples
     assert results["gen_mean_nodes"] > 5
     assert results["gen_mean_edges"] > 1
@@ -39,3 +54,46 @@ def test_smoke_pipeline(tmp_path, monkeypatch):
     # artifacts exist
     assert os.path.exists(os.path.join("runs", "smoke", "results.json"))
     assert os.path.exists(os.path.join("runs", "smoke", "config.json"))
+
+
+@pytest.mark.slow
+def test_generate_tool(smoke_run, monkeypatch):
+    cwd, _ = smoke_run
+    monkeypatch.chdir(cwd)
+    from scripts import generate
+    res = generate.main(["smoke", "num_samples=16", "temperature=0.9"])
+    assert res["num_samples"] == 16
+    assert np.isfinite(res["mmd_degree"])
+    # mid-run checkpoint restore path (checkpoints land on chunk boundaries)
+    from gnfx.train.checkpoint import _ckpt_steps
+    mid = _ckpt_steps(os.path.join("runs", "smoke", "ckpt"))[0]
+    res_mid = generate.main(["smoke", "num_samples=8", f"step={mid}"])
+    assert np.isfinite(res_mid["mmd_degree"])
+
+
+@pytest.mark.slow
+def test_stepsweep_tool(smoke_run, monkeypatch):
+    cwd, _ = smoke_run
+    monkeypatch.chdir(cwd)
+    from scripts import stepsweep
+    # shrink the selection grid: the test pins the plumbing, not the search
+    monkeypatch.setattr(stepsweep, "TEMPS", (1.0,))
+    monkeypatch.setattr(stepsweep, "DECODES", ((0.5, False),))
+    best = stepsweep.main(["smoke", "num_samples=16"])
+    assert np.isfinite(best["mmd_degree"])
+    assert best["train_score"] > 0
+    swept = json.load(open(os.path.join("runs", "smoke", "stepsweep.json")))
+    assert len(swept) >= 1
+    # BEST selects on the train split, not test MMDs
+    assert best["train_score"] == min(r["train_score"] for r in swept)
+
+
+@pytest.mark.slow
+def test_eval_ci_tool(smoke_run, monkeypatch):
+    cwd, _ = smoke_run
+    monkeypatch.chdir(cwd)
+    from scripts import eval_ci
+    out = eval_ci.main(["smoke", "seeds=2", "num_samples=16"])
+    assert out["seeds"] == 2
+    assert np.isfinite(out["mmd_degree"]) and out["mmd_degree_sd"] >= 0
+    assert os.path.exists(os.path.join("runs", "smoke", "eval_ci.json"))
