@@ -130,6 +130,19 @@ PRESETS: dict[str, ExperimentConfig] = {
                           checkpoint_every=20000, eval_every=20000,
                           eval_samples=64, checkpoint_keep=100),
     ),
+    "grid": _preset(
+        "grid",
+        data=DataConfig(dataset="grid", batch_size=32),
+        flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
+                        gnn_rounds=3, message_mode="attention",
+                        use_actnorm=True),
+        ae=AEConfig(embed_dim=20, feature_dim=20, gnn_hidden=128, gnn_rounds=4,
+                    decoder_c=50.0, train_steps=20000, pos_weight=1.0),
+        train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
+                          checkpoint_every=20000, eval_every=20000,
+                          eval_samples=64, checkpoint_keep=100,
+                          ema_decay=0.9999),
+    ),
     "protein": _preset(
         "protein",
         data=DataConfig(dataset="protein", batch_size=8),
