@@ -20,10 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
 from gnfx.eval.mmd import evaluate_generated
 from gnfx.sample import sample_graphs
-from scripts.generate import load_run
+from scripts.generate import load_eval_data, load_run
 
 
 def main(argv):
@@ -33,24 +32,18 @@ def main(argv):
         if a.startswith("seeds="):
             seeds = int(a.split("=")[1])
             argv.remove(a)
-    cfg, params, step, sampling, num_samples, seed0 = load_run(argv)
-    train_graphs, test_graphs, max_nodes = create_dataset(
-        cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
-    )
-    adj_tr, n_tr = dataset_to_arrays(train_graphs, max_nodes)
-    size_dist = empirical_size_distribution(n_tr, max_nodes)
-    n = num_samples or max(len(test_graphs) * 4, 64)
+    if seeds < 2:
+        raise SystemExit("eval_ci needs seeds>=2 (a sd over one draw is "
+                         "undefined); use scripts/generate.py for one seed")
+    cfg, params, step, sampling, num_samples, seed0, run_dir = load_run(argv)
+    _, test_graphs, max_nodes, size_dist, n = load_eval_data(cfg, num_samples)
 
     rows = []
     for k in range(seeds):
         sampled = sample_graphs(
             params["flow"], params["ae"], cfg.flow, cfg.ae, n, size_dist,
             max_nodes, seed=seed0 + 1000 * k,
-            batch_size=cfg.data.batch_size,
-            temperature=sampling["temperature"],
-            threshold=sampling["threshold"],
-            connect_isolated=sampling["connect_isolated"],
-            edge_sample=sampling["edge_sample"],
+            batch_size=cfg.data.batch_size, **sampling,
         )
         res = evaluate_generated(test_graphs, sampled)
         rows.append(res)
@@ -65,7 +58,9 @@ def main(argv):
         out[key] = round(float(vals.mean()), 4)
         out[key + "_sd"] = round(float(vals.std(ddof=1)), 4)
     print("[ci] SUMMARY", json.dumps(out), flush=True)
-    run_dir = os.path.join("runs", cfg.name)
+    # write next to the params that produced it (run_dir is the directory
+    # load_run resolved from the CLI arg, NOT cfg.name — a copied/renamed
+    # run dir must not overwrite the original's CI file)
     if os.path.isdir(run_dir):
         with open(os.path.join(run_dir, "eval_ci.json"), "w") as f:
             json.dump(out, f, indent=2)

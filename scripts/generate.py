@@ -122,39 +122,34 @@ def load_run(argv):
     sampling = {"temperature": temperature, "threshold": threshold,
                 "connect_isolated": connect_isolated,
                 "edge_sample": edge_sample}
-    return cfg, params, step, sampling, num_samples, seed
+    return cfg, params, step, sampling, num_samples, seed, run_dir
 
 
-def main(argv):
-    cfg, params, step, sampling, num_samples, seed = load_run(argv)
-    temperature = sampling["temperature"]
-    threshold = sampling["threshold"]
-    connect_isolated = sampling["connect_isolated"]
-    edge_sample = sampling["edge_sample"]
-
+def load_eval_data(cfg, num_samples):
+    """The generation-eval protocol's shared setup: dataset split, empirical
+    size distribution, and the default sample count (4x the test split)."""
     train_graphs, test_graphs, max_nodes = create_dataset(
         cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
     )
-    adj_tr, n_tr = dataset_to_arrays(train_graphs, max_nodes)
+    _, n_tr = dataset_to_arrays(train_graphs, max_nodes)
     size_dist = empirical_size_distribution(n_tr, max_nodes)
     n = num_samples or max(len(test_graphs) * 4, 64)
+    return train_graphs, test_graphs, max_nodes, size_dist, n
+
+
+def main(argv):
+    cfg, params, step, sampling, num_samples, seed, _ = load_run(argv)
+    _, test_graphs, max_nodes, size_dist, n = load_eval_data(cfg, num_samples)
 
     t0 = time.time()
     sampled = sample_graphs(params["flow"], params["ae"], cfg.flow, cfg.ae, n,
-                            size_dist,
-                            max_nodes, seed=seed, temperature=temperature,
-                            threshold=threshold,
-                            connect_isolated=connect_isolated,
-                            edge_sample=edge_sample,
-                            batch_size=cfg.data.batch_size)
+                            size_dist, max_nodes, seed=seed,
+                            batch_size=cfg.data.batch_size, **sampling)
     dt = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
     results["graphs_per_s"] = n / dt
     results["num_samples"] = n
-    results["temperature"] = temperature
-    results["threshold"] = threshold
-    results["connect_isolated"] = connect_isolated
-    results["edge_sample"] = edge_sample
+    results.update(sampling)
     print(f"[gnfx] FINAL {json.dumps(results)}", flush=True)
     return results
 
