@@ -41,6 +41,12 @@ class AEConfig:
     # flow, binds community-small quality).
     decoder: str = "dist"
     decoder_hidden: int = 64
+    # Stage-1→2 handoff canonicalization (see ae.canonicalize_embeddings):
+    # "center" removes the per-graph embedding-cloud mean — a pure nuisance
+    # dimension, since the distance decoder is translation-invariant — with
+    # `canon_jitter` isotropic noise keeping the training density proper.
+    canonicalize: str = "none"
+    canon_jitter: float = 0.05
     train_steps: int = 3000
     lr: float = 1e-3
     pos_weight: float = 2.0         # BCE class weight on edges (sparse graphs)

@@ -64,6 +64,34 @@ def encode(params: dict, cfg: AEConfig, feats: jax.Array, graph: GraphBatch) -> 
     return apply_gnn(params["encoder"], encoder_gnn_config(cfg), feats, graph)
 
 
+def canonicalize_embeddings(
+    x: jax.Array, cfg: AEConfig, node_mask: jax.Array,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Optional per-graph canonicalization of encoder embeddings before the
+    flow (stage-1→2 handoff).
+
+    The distance decoder (below) is translation-invariant, so the per-graph
+    embedding-cloud mean is pure nuisance entropy the flow would otherwise
+    have to model. `cfg.canonicalize == "center"` subtracts the masked
+    per-graph mean; with a `key` and `cfg.canon_jitter > 0`, small isotropic
+    noise is added afterwards so the training density stays proper (exact
+    centering puts the data on the measure-zero Σx=0 subspace, which would
+    drive the flow's scales degenerate). Sampling needs no inverse: decoded
+    edges are unchanged by translation. Padded slots stay exactly 0."""
+    if cfg.canonicalize == "none":
+        return x
+    if cfg.canonicalize != "center":
+        raise ValueError(f"unknown canonicalize mode {cfg.canonicalize!r}")
+    mask = node_mask[..., None]
+    n = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)[:, None, None]
+    mean = jnp.sum(x * mask, axis=1, keepdims=True) / n
+    x = (x - mean) * mask
+    if key is not None and cfg.canon_jitter > 0.0:
+        x = x + cfg.canon_jitter * jax.random.normal(key, x.shape) * mask
+    return x
+
+
 def pairwise_sq_dists(x: jax.Array) -> jax.Array:
     """d²[b, u, v] = ‖x_u − x_v‖² via the Gram-matrix identity (MXU-shaped)."""
     sq = jnp.sum(x * x, axis=-1)

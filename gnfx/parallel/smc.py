@@ -125,6 +125,9 @@ def _iwae_runner(fcfg, acfg, num_particles, local_k, mesh):
         # per-particle proposal means: independent encoder feature draws
         feats = ae.random_node_features(k_feat, graph_k, acfg.feature_dim)
         mu_k = ae.encode(ae_p, acfg, feats, graph_k)      # [k_local, N, D]
+        # match the flow's training target (centered embeddings); jitter is
+        # absorbed by the proposal width sigma_q
+        mu_k = ae.canonicalize_embeddings(mu_k, acfg, graph_k.node_mask)
         eps = jax.random.normal(k_eps, mu_k.shape) * graph_k.node_mask[..., None]
         x = mu_k + sigma_q * eps
 
@@ -187,6 +190,7 @@ def smc_log_prob(
     feats = ae.random_node_features(jax.random.fold_in(key, 0), graph,
                                     acfg.feature_dim)
     mu = ae.encode(ae_params, acfg, feats, graph)
+    mu = ae.canonicalize_embeddings(mu, acfg, graph.node_mask)
     graph_k = _tile_graph(graph, local_k)
     mu_k = jnp.broadcast_to(mu, (local_k,) + mu.shape[1:])
     mask_k = graph_k.node_mask[..., None]

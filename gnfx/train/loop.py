@@ -116,7 +116,9 @@ def compute_embeddings(
     @jax.jit
     def embed(graph: GraphBatch, k):
         feats = ae.random_node_features(k, graph, acfg.feature_dim)
-        return ae.encode(ae_params, acfg, feats, graph)
+        x = ae.encode(ae_params, acfg, feats, graph)
+        # deterministic handoff: canonicalize without jitter
+        return ae.canonicalize_embeddings(x, acfg, graph.node_mask)
 
     out = []
     bsz = cfg.data.batch_size
@@ -147,8 +149,10 @@ def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
     (plain density estimation)."""
 
     def embed(graph: GraphBatch, key):
-        feats = ae.random_node_features(key, graph, acfg.feature_dim)
+        k_feat, k_canon = jax.random.split(key)
+        feats = ae.random_node_features(k_feat, graph, acfg.feature_dim)
         x = ae.encode(ae_params, acfg, feats, graph)
+        x = ae.canonicalize_embeddings(x, acfg, graph.node_mask, k_canon)
         return jax.lax.stop_gradient(x)
 
     def one_step(params, opt_state, graph: GraphBatch, key):
@@ -275,6 +279,7 @@ def train_flow(
                     jax.random.fold_in(key, 10_000 + i), gb0, cfg.ae.feature_dim
                 )
                 x0 = ae.encode(ae_params, cfg.ae, feats, gb0)
+                x0 = ae.canonicalize_embeddings(x0, cfg.ae, gb0.node_mask)
             else:
                 x0 = gb0.nodes
             m = np.asarray(gb0.node_mask) > 0

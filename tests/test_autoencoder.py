@@ -150,3 +150,32 @@ def test_decode_to_adjacency_masked_symmetric():
     assert np.all(np.diagonal(hard, axis1=1, axis2=2) == 0)
     m = np.asarray(gb.node_mask)
     assert np.all(hard * (1 - m[:, :, None]) == 0)
+
+
+def test_canonicalize_center():
+    cfg = AEConfig(embed_dim=4, feature_dim=4, canonicalize="center",
+                   canon_jitter=0.0)
+    gb = _batch(jax.random.PRNGKey(21))
+    x = jax.random.normal(jax.random.PRNGKey(22), (3, 8, 4)) * gb.node_mask[..., None]
+    y = np.asarray(ae.canonicalize_embeddings(x, cfg, gb.node_mask))
+    m = np.asarray(gb.node_mask)
+    # masked per-graph mean is exactly 0; padding stays exactly 0
+    means = np.sum(y * m[..., None], axis=1) / np.sum(m, axis=1)[:, None]
+    np.testing.assert_allclose(means, 0.0, atol=1e-6)
+    assert np.all(y * (1 - m[:, :, None]) == 0)
+    # decode is translation-invariant: logits unchanged on real pairs
+    lx = np.asarray(ae.decode_edge_logits(None, cfg, x))
+    ly = np.asarray(ae.decode_edge_logits(None, cfg, y + np.sum(x * m[..., None], axis=1, keepdims=True) / np.sum(m, axis=1)[:, None, None]))
+    pm = np.asarray(ae.edge_pair_mask(gb))
+    np.testing.assert_allclose(lx * pm, ly * pm, atol=1e-4)
+    # jitter keeps padding zero and stays small
+    cfg_j = AEConfig(embed_dim=4, feature_dim=4, canonicalize="center",
+                     canon_jitter=0.05)
+    yj = np.asarray(ae.canonicalize_embeddings(x, cfg_j, gb.node_mask,
+                                               jax.random.PRNGKey(23)))
+    assert np.all(yj * (1 - m[:, :, None]) == 0)
+    assert np.max(np.abs(yj - y)) < 0.5
+    # "none" is the identity
+    cfg_n = AEConfig(embed_dim=4, feature_dim=4)
+    np.testing.assert_array_equal(
+        np.asarray(ae.canonicalize_embeddings(x, cfg_n, gb.node_mask)), np.asarray(x))
