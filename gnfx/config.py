@@ -42,9 +42,10 @@ class AEConfig:
     decoder: str = "dist"
     decoder_hidden: int = 64
     # Stage-1→2 handoff canonicalization (see ae.canonicalize_embeddings):
-    # "center" removes the per-graph embedding-cloud mean — a pure nuisance
-    # dimension, since the distance decoder is translation-invariant — with
-    # `canon_jitter` isotropic noise keeping the training density proper.
+    # the distance decoder is rigid-motion-invariant, so per-graph cloud
+    # mean/orientation are pure nuisance dims. "center" removes the mean;
+    # "pca" also rotates onto principal axes (skew-fixed reflections) —
+    # with `canon_jitter` isotropic noise keeping the training density proper.
     canonicalize: str = "none"
     canon_jitter: float = 0.05
     train_steps: int = 3000

@@ -71,22 +71,43 @@ def canonicalize_embeddings(
     """Optional per-graph canonicalization of encoder embeddings before the
     flow (stage-1→2 handoff).
 
-    The distance decoder (below) is translation-invariant, so the per-graph
-    embedding-cloud mean is pure nuisance entropy the flow would otherwise
-    have to model. `cfg.canonicalize == "center"` subtracts the masked
-    per-graph mean; with a `key` and `cfg.canon_jitter > 0`, small isotropic
-    noise is added afterwards so the training density stays proper (exact
-    centering puts the data on the measure-zero Σx=0 subspace, which would
-    drive the flow's scales degenerate). Sampling needs no inverse: decoded
-    edges are unchanged by translation. Padded slots stay exactly 0."""
+    The distance decoder (below) is invariant to the whole rigid group —
+    translations AND orthogonal maps of the embedding space — so each
+    graph's cloud mean and orientation are pure nuisance entropy the flow
+    would otherwise have to model (the orientation alone is a
+    D(D−1)/2-dimensional manifold: 190 dims at D=20).
+
+    `cfg.canonicalize == "center"` subtracts the masked per-graph mean.
+    `cfg.canonicalize == "pca"` additionally rotates each cloud onto its
+    principal axes (descending variance) and fixes the per-axis reflection
+    by making the third moment (skew) non-negative, so any input rotation
+    maps to the same canonical form. With a `key` and `cfg.canon_jitter > 0`,
+    small isotropic noise is added afterwards so the training density stays
+    proper (exact centering puts the data on the measure-zero Σx=0 subspace,
+    and exact axis alignment zeroes the off-diagonal covariances — both
+    would drive the flow's scales degenerate; jitter also washes out the
+    eigenvector instability at near-degenerate eigenvalues / near-zero
+    skews). Sampling needs no inverse: decoded edges are unchanged by any
+    rigid map. Padded slots stay exactly 0."""
     if cfg.canonicalize == "none":
         return x
-    if cfg.canonicalize != "center":
+    if cfg.canonicalize not in ("center", "pca"):
         raise ValueError(f"unknown canonicalize mode {cfg.canonicalize!r}")
     mask = node_mask[..., None]
     n = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)[:, None, None]
     mean = jnp.sum(x * mask, axis=1, keepdims=True) / n
     x = (x - mean) * mask
+    if cfg.canonicalize == "pca":
+        # masked covariance [B, D, D]; eigh ascending -> flip to descending
+        cov = jnp.einsum("bnd,bne->bde", x, x) / n
+        _, vecs = jnp.linalg.eigh(cov)
+        vecs = vecs[:, :, ::-1]
+        y = jnp.einsum("bnd,bde->bne", x, vecs)
+        # reflection fix: per-axis sign from the third moment; sign(0) = 0
+        # would zero an axis, so treat exact zeros as +1
+        skew = jnp.sum(y**3 * mask, axis=1)
+        sign = jnp.where(skew < 0.0, -1.0, 1.0)
+        x = y * sign[:, None, :] * mask
     if key is not None and cfg.canon_jitter > 0.0:
         x = x + cfg.canon_jitter * jax.random.normal(key, x.shape) * mask
     return x

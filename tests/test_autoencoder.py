@@ -179,3 +179,34 @@ def test_canonicalize_center():
     cfg_n = AEConfig(embed_dim=4, feature_dim=4)
     np.testing.assert_array_equal(
         np.asarray(ae.canonicalize_embeddings(x, cfg_n, gb.node_mask)), np.asarray(x))
+
+
+def test_canonicalize_pca_rigid_invariance():
+    """canonicalize(R x + t) == canonicalize(x) for any rotation R and
+    translation t — the rigid nuisance is fully removed."""
+    cfg = AEConfig(embed_dim=4, feature_dim=4, canonicalize="pca",
+                   canon_jitter=0.0)
+    gb = _batch(jax.random.PRNGKey(31))
+    m = np.asarray(gb.node_mask)
+    x = jax.random.normal(jax.random.PRNGKey(32), (3, 8, 4)) * gb.node_mask[..., None]
+    # random orthogonal map per batch (shared is fine) + translation
+    q, _ = np.linalg.qr(np.random.RandomState(0).randn(4, 4))
+    t = np.random.RandomState(1).randn(1, 1, 4)
+    xr = (np.asarray(x) @ q + t) * m[..., None]
+    y = np.asarray(ae.canonicalize_embeddings(x, cfg, gb.node_mask))
+    yr = np.asarray(ae.canonicalize_embeddings(jnp.asarray(xr), cfg, gb.node_mask))
+    np.testing.assert_allclose(yr, y, atol=1e-4)
+    # canonical form: axis-aligned (diagonal masked covariance, descending)
+    for b in range(3):
+        pts = y[b][m[b] > 0]
+        cov = pts.T @ pts / len(pts)
+        off = cov - np.diag(np.diag(cov))
+        assert np.max(np.abs(off)) < 1e-4
+        d = np.diag(cov)
+        assert np.all(d[:-1] >= d[1:] - 1e-5)
+    # padding stays exactly 0; decode logits unchanged on real pairs
+    assert np.all(y * (1 - m[:, :, None]) == 0)
+    lx = np.asarray(ae.decode_edge_logits(None, cfg, x))
+    ly = np.asarray(ae.decode_edge_logits(None, cfg, jnp.asarray(y)))
+    pm = np.asarray(ae.edge_pair_mask(gb))
+    np.testing.assert_allclose(lx * pm, ly * pm, atol=1e-4)
