@@ -36,6 +36,15 @@ def main(argv):
     overrides = [a for a in argv if a not in ("--resume",)]
     resume = "resume=1" in overrides or "--resume" in argv
     overrides = [a for a in overrides if not a.startswith("resume=")]
+    # ae_from=<run-name>: reuse another run's trained stage-1 AE instead of
+    # training one (stage-2 variants — canonicalization, flow arch, seeds —
+    # share the AE, so retraining it per experiment is pure waste). The AE
+    # config must match; checked via the checkpoint template shapes.
+    ae_from = None
+    for a in list(overrides):
+        if a.startswith("ae_from="):
+            ae_from = a.split("=", 1)[1]
+            overrides.remove(a)
     cfg = load_config(overrides)
 
     run_dir = os.path.join("runs", cfg.name)
@@ -65,7 +74,19 @@ def main(argv):
 
     ae_dir = os.path.join(run_dir, "params_ae")
     t0 = time.time()
-    if resume and os.path.isdir(ae_dir):
+    if ae_from is not None and not (resume and os.path.isdir(ae_dir)):
+        from gnfx.models import autoencoder as _ae
+
+        template = {"ae": _ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)}
+        src = os.path.join("runs", ae_from, "params_ae")
+        if not os.path.isdir(src):
+            # finished runs may only have the combined {ae, flow} params dir;
+            # restore_checkpoint pulls only the template's leaves
+            src = os.path.join("runs", ae_from, "params")
+        ae_params = restore_checkpoint(src, template)[0]["ae"]
+        save_checkpoint(ae_dir, 0, {"ae": ae_params})
+        print(f"[gnfx] stage-1 AE reused from {src}", flush=True)
+    elif resume and os.path.isdir(ae_dir):
         from gnfx.models import autoencoder as _ae
 
         template = {"ae": _ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)}
