@@ -106,19 +106,26 @@ def train_autoencoder(
 
 def compute_embeddings(
     ae_params: dict, cfg: ExperimentConfig, adj: np.ndarray, n_node: np.ndarray,
-    *, seed: int = 7,
+    *, seed: int = 7, jitter: bool = False,
 ) -> np.ndarray:
     """Frozen-encoder embeddings for every graph (the stage-1→2 handoff,
-    SURVEY.md §3b). Features fixed per graph index for determinism."""
+    SURVEY.md §3b). Features fixed per graph index for determinism.
+
+    With canonicalization on, jitter defaults OFF (deterministic eval
+    handoff). Pass jitter=True if these embeddings feed flow TRAINING
+    (train_flow(embeddings=...)): jitterless canonicalized clouds are
+    exactly degenerate (zero mean / zero trailing principal dims), which
+    gives the flow unbounded likelihood directions."""
     acfg = cfg.ae
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
     def embed(graph: GraphBatch, k):
-        feats = ae.random_node_features(k, graph, acfg.feature_dim)
+        k_feat, k_canon = jax.random.split(k)
+        feats = ae.random_node_features(k_feat, graph, acfg.feature_dim)
         x = ae.encode(ae_params, acfg, feats, graph)
-        # deterministic handoff: canonicalize without jitter
-        return ae.canonicalize_embeddings(x, acfg, graph.node_mask)
+        return ae.canonicalize_embeddings(
+            x, acfg, graph.node_mask, key=k_canon if jitter else None)
 
     out = []
     bsz = cfg.data.batch_size
@@ -149,10 +156,15 @@ def make_flow_step(fcfg: FlowConfig, tx: optax.GradientTransformation,
     (plain density estimation)."""
 
     def embed(graph: GraphBatch, key):
-        k_feat, k_canon = jax.random.split(key)
-        feats = ae.random_node_features(k_feat, graph, acfg.feature_dim)
+        # split ONLY when canonicalizing (jitter needs its own key) so the
+        # canonicalize="none" feature stream — and bit-exact resume of
+        # pre-canonicalization checkpoints — is unchanged
+        if acfg.canonicalize != "none":
+            key, k_canon = jax.random.split(key)
+        feats = ae.random_node_features(key, graph, acfg.feature_dim)
         x = ae.encode(ae_params, acfg, feats, graph)
-        x = ae.canonicalize_embeddings(x, acfg, graph.node_mask, k_canon)
+        if acfg.canonicalize != "none":
+            x = ae.canonicalize_embeddings(x, acfg, graph.node_mask, k_canon)
         return jax.lax.stop_gradient(x)
 
     def one_step(params, opt_state, graph: GraphBatch, key):
@@ -279,7 +291,13 @@ def train_flow(
                     jax.random.fold_in(key, 10_000 + i), gb0, cfg.ae.feature_dim
                 )
                 x0 = ae.encode(ae_params, cfg.ae, feats, gb0)
-                x0 = ae.canonicalize_embeddings(x0, cfg.ae, gb0.node_mask)
+                # WITH jitter: training data carries it, and under pca the
+                # jitterless trailing principal dims have exactly zero std
+                # (centered n-point clouds have rank <= n-1), which would
+                # initialize ActNorm with a ~1/eps scale and blow up step 0
+                x0 = ae.canonicalize_embeddings(
+                    x0, cfg.ae, gb0.node_mask,
+                    key=jax.random.fold_in(key, 20_000 + i))
             else:
                 x0 = gb0.nodes
             m = np.asarray(gb0.node_mask) > 0

@@ -74,23 +74,39 @@ def main(argv):
 
     ae_dir = os.path.join(run_dir, "params_ae")
     t0 = time.time()
-    if ae_from is not None and not (resume and os.path.isdir(ae_dir)):
+
+    def _restore_ae(src_dir):
         from gnfx.models import autoencoder as _ae
 
         template = {"ae": _ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)}
+        return restore_checkpoint(src_dir, template)[0]["ae"]
+
+    if ae_from is not None and not (resume and os.path.isdir(ae_dir)):
+        # the source AE must have been TRAINED with the same AE config;
+        # shape-identical mismatches (decoder_c, aggregation, a dropped mlp
+        # decoder) restore silently, so compare configs, not leaves. The
+        # canonicalize fields are a stage-1->2 handoff choice, not an AE
+        # training property — they may differ (that's the point of reuse).
+        src_cfg_path = os.path.join("runs", ae_from, "config.json")
+        with open(src_cfg_path) as f:
+            src_ae = json.load(f)["ae"]
+        ours = to_dict(cfg)["ae"]
+        skip = ("canonicalize", "canon_jitter")
+        diff = {k: (src_ae.get(k), v) for k, v in ours.items()
+                if k not in skip and src_ae.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"ae_from={ae_from}: AE config mismatch (source, ours): {diff}")
         src = os.path.join("runs", ae_from, "params_ae")
         if not os.path.isdir(src):
             # finished runs may only have the combined {ae, flow} params dir;
             # restore_checkpoint pulls only the template's leaves
             src = os.path.join("runs", ae_from, "params")
-        ae_params = restore_checkpoint(src, template)[0]["ae"]
+        ae_params = _restore_ae(src)
         save_checkpoint(ae_dir, 0, {"ae": ae_params})
         print(f"[gnfx] stage-1 AE reused from {src}", flush=True)
     elif resume and os.path.isdir(ae_dir):
-        from gnfx.models import autoencoder as _ae
-
-        template = {"ae": _ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)}
-        ae_params = restore_checkpoint(ae_dir, template)[0]["ae"]
+        ae_params = _restore_ae(ae_dir)
         print(f"[gnfx] stage-1 AE restored from {ae_dir}", flush=True)
     else:
         ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics)

@@ -181,6 +181,57 @@ def test_canonicalize_center():
         np.asarray(ae.canonicalize_embeddings(x, cfg_n, gb.node_mask)), np.asarray(x))
 
 
+def test_canonicalize_pca_rank_deficient_jitter_floor():
+    """Centered n-point clouds in R^D have rank <= n-1: with D >= n the
+    trailing principal dims are EXACTLY zero without jitter (which once
+    initialized ActNorm with a ~1/eps scale and blew up training at step 0
+    — regression). Jitter must floor every dim's std."""
+    D = 12
+    cfg = AEConfig(embed_dim=D, feature_dim=D, canonicalize="pca",
+                   canon_jitter=0.05)
+    gb = _batch(jax.random.PRNGKey(41))   # 8-node graphs < D dims
+    m = np.asarray(gb.node_mask)
+    x = jax.random.normal(jax.random.PRNGKey(42), (3, 8, D)) * gb.node_mask[..., None]
+    y0 = np.asarray(ae.canonicalize_embeddings(x, cfg, gb.node_mask))  # no key
+    for b in range(3):
+        stds = np.std(y0[b][m[b] > 0], axis=0)
+        assert stds[-1] < 1e-5    # the degenerate geometry is real
+    yj = np.asarray(ae.canonicalize_embeddings(x, cfg, gb.node_mask,
+                                               jax.random.PRNGKey(43)))
+    flat = np.concatenate([yj[b][m[b] > 0] for b in range(3)])
+    assert np.min(np.std(flat, axis=0)) > 0.01   # jitter floors every dim
+
+
+def test_train_flow_actnorm_pca_finite():
+    """train_flow's ActNorm init must use jittered canonicalized stats:
+    with pca + D >= max_nodes the jitterless trailing-dim std is ~0 and the
+    first step NaN'd before the fix. 3 steps, loss must stay finite."""
+    from gnfx.config import PRESETS
+    from gnfx.train.loop import train_autoencoder, train_flow
+    import dataclasses
+
+    cfg = PRESETS["smoke"]
+    D = 10   # > min graph size (smoke graphs go down to ~6 nodes)
+    cfg = dataclasses.replace(
+        cfg,
+        ae=dataclasses.replace(cfg.ae, embed_dim=D, feature_dim=D,
+                               canonicalize="pca", train_steps=30),
+        flow=dataclasses.replace(cfg.flow, node_dim=D, num_couplings=2,
+                                 use_actnorm=True),
+        train=dataclasses.replace(cfg.train, num_steps=4, log_every=1,
+                                  eval_every=10**9, checkpoint_every=10**9,
+                                  eval_samples=0, steps_per_call=1),
+    )
+    from gnfx.data import create_dataset, dataset_to_arrays
+    graphs, _, max_n = create_dataset(cfg.data.dataset, seed=cfg.data.seed,
+                                      num_graphs=cfg.data.num_graphs)
+    adj, n = dataset_to_arrays(graphs, max_n)
+    ae_params = train_autoencoder(cfg, adj, n)
+    flow_params = train_flow(cfg, adj, n, ae_params, full_graph=True)
+    flat = jax.tree_util.tree_leaves(flow_params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+
+
 def test_canonicalize_pca_rigid_invariance():
     """canonicalize(R x + t) == canonicalize(x) for any rotation R and
     translation t — the rigid nuisance is fully removed."""
