@@ -6,7 +6,15 @@ used it can block minutes — CLAUDE.md). Jobs are .py files dropped into
 process with a fresh globals dict (modules stay cached, so jit caches
 persist across jobs). Finished jobs move to /tmp/tpu_jobs/done with a
 .ok/.fail suffix; their stdout goes to this process's stdout.
+
+Memory hygiene: host RSS accumulates across jobs (jit executables,
+per-job module state) — an unbounded worker was OOM-killed at 130 GB
+mid-job. After every job the worker clears jax's compilation caches and
+gc's; if RSS still exceeds RSS_RESTART_GB it re-execs itself BETWEEN
+jobs (fresh process image, same PID => keeps chip ownership, queue state
+stays consistent).
 """
+import gc
 import os
 import sys
 import time
@@ -14,6 +22,7 @@ import traceback
 
 QUEUE = "/tmp/tpu_jobs"
 DONE = "/tmp/tpu_jobs/done"
+RSS_RESTART_GB = 40.0
 os.makedirs(DONE, exist_ok=True)
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
@@ -24,6 +33,15 @@ import jax  # noqa: E402
 print(f"[worker] backend={jax.default_backend()} devices={jax.devices()} "
       f"({time.time()-t0:.1f}s)", flush=True)
 
+
+def rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1e6
+    return 0.0
+
+
 while True:
     jobs = sorted(f for f in os.listdir(QUEUE) if f.endswith(".py"))
     if not jobs:
@@ -31,7 +49,8 @@ while True:
         continue
     job = jobs[0]
     path = os.path.join(QUEUE, job)
-    print(f"\n[worker] ==== running {job} ====", flush=True)
+    print(f"\n[worker] ==== running {job} ==== (rss {rss_gb():.1f} GB)",
+          flush=True)
     t0 = time.time()
     status = "ok"
     try:
@@ -44,9 +63,20 @@ while True:
     except BaseException:
         traceback.print_exc()
         status = "fail"
-    print(f"[worker] ==== {job} {status} in {time.time()-t0:.1f}s ====",
-          flush=True)
+    dt = time.time() - t0
+    if not os.path.exists(path):
+        # the job moved/renamed itself (restart-in-place pattern below)
+        continue
     os.rename(path, os.path.join(DONE, f"{job}.{status}"))
+    jax.clear_caches()
+    gc.collect()
+    rss = rss_gb()
+    print(f"[worker] ==== {job} {status} in {dt:.1f}s ==== (rss {rss:.1f} GB)",
+          flush=True)
+    if rss > RSS_RESTART_GB:
+        print(f"[worker] rss {rss:.1f} GB > {RSS_RESTART_GB} GB — re-exec "
+              "for a fresh process image", flush=True)
+        os.execv(sys.executable, [sys.executable, "-u", __file__])
 
 # Restart-in-place pattern: drop a job that renames itself into done/ and
 # then os.execv's this script — fresh module cache, same TPU-owning process.
