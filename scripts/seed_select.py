@@ -1,0 +1,73 @@
+"""Select the headline checkpoint across seed replicates by TRAIN-split score.
+
+Usage:
+    python scripts/seed_select.py <run-name> [<run-name> ...]
+
+community-small shows large seed variance (CLAUDE.md round 5: identical
+recipes at seeds 0/1 give train-split scores 0.66 vs 1.07), so an honest
+headline needs selection over replicates — and the selection signal must
+stay held-out. Each run's `stepsweep.json` rows already carry the
+TRAIN-split score used for per-run (step, temperature, decode) selection;
+this tool extends the same rule across runs: pick the row with the lowest
+train_score over ALL replicates, quote its TEST-split MMD. A per-run table
+and the cross-run spread (seed-variance evidence) are printed alongside.
+
+No model evaluation happens here — purely an aggregation of stepsweep
+artifacts, so it is CPU-trivial and rerunnable.
+"""
+
+import json
+import os
+import sys
+
+
+def main(argv):
+    runs = [a for a in argv if "=" not in a]
+    if not runs:
+        raise SystemExit("usage: seed_select.py <run-name> [<run-name> ...]")
+    rows = []
+    for run in runs:
+        path = os.path.join("runs", run, "stepsweep.json")
+        if not os.path.exists(path):
+            print(f"[seed_select] {run}: no stepsweep.json — skipped",
+                  flush=True)
+            continue
+        with open(path) as f:
+            for r in json.load(f):
+                rows.append({**r, "run": run})
+    if not rows:
+        raise SystemExit("no stepsweep rows found")
+
+    per_run_best = {}
+    for r in rows:
+        b = per_run_best.get(r["run"])
+        if b is None or r["train_score"] < b["train_score"]:
+            per_run_best[r["run"]] = r
+    print("[seed_select] per-run best (train-split selected):", flush=True)
+    for run, r in sorted(per_run_best.items()):
+        print(f"  {run}: train {r['train_score']:.3f} -> test "
+              f"{r['mmd_degree']:.3f}/{r['mmd_clustering']:.3f}/"
+              f"{r.get('mmd_orbit', float('nan')):.3f} @ step {r['step']} "
+              f"({r.get('variant', 'raw')}, T={r['temp']}, "
+              f"thr={r['threshold']}, es={r.get('edge_sample', False)})",
+              flush=True)
+
+    best = min(rows, key=lambda r: r["train_score"])
+    scores = sorted(r["train_score"] for r in per_run_best.values())
+    result = {
+        "selected": best,
+        "num_runs": len(per_run_best),
+        "per_run_train_scores": {k: v["train_score"]
+                                 for k, v in sorted(per_run_best.items())},
+        "train_score_spread": (scores[-1] - scores[0]) if len(scores) > 1 else 0.0,
+    }
+    out = os.path.join("runs", "seed_select.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[seed_select] SELECTED {json.dumps(best)}", flush=True)
+    print(f"[seed_select] wrote {out}", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
