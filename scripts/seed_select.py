@@ -38,26 +38,31 @@ def main(argv):
     if not rows:
         raise SystemExit("no stepsweep rows found")
 
+    def score(r):
+        # prefer the refined (multi-seed, 4x-sample) train score when the
+        # sweep produced one — the screening score overfits MC noise
+        return r.get("train_score_refined", r["train_score"])
+
     per_run_best = {}
     for r in rows:
         b = per_run_best.get(r["run"])
-        if b is None or r["train_score"] < b["train_score"]:
+        if b is None or score(r) < score(b):
             per_run_best[r["run"]] = r
     print("[seed_select] per-run best (train-split selected):", flush=True)
     for run, r in sorted(per_run_best.items()):
-        print(f"  {run}: train {r['train_score']:.3f} -> test "
+        print(f"  {run}: train {score(r):.3f} -> test "
               f"{r['mmd_degree']:.3f}/{r['mmd_clustering']:.3f}/"
               f"{r.get('mmd_orbit', float('nan')):.3f} @ step {r['step']} "
               f"({r.get('variant', 'raw')}, T={r['temp']}, "
               f"thr={r['threshold']}, es={r.get('edge_sample', False)})",
               flush=True)
 
-    best = min(rows, key=lambda r: r["train_score"])
-    scores = sorted(r["train_score"] for r in per_run_best.values())
+    best = min(rows, key=score)
+    scores = sorted(score(r) for r in per_run_best.values())
     result = {
         "selected": best,
         "num_runs": len(per_run_best),
-        "per_run_train_scores": {k: v["train_score"]
+        "per_run_train_scores": {k: score(v)
                                  for k, v in sorted(per_run_best.items())},
         "train_score_spread": (scores[-1] - scores[0]) if len(scores) > 1 else 0.0,
     }

@@ -37,6 +37,17 @@ TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.5, True))
 
 
+def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
+    """Flow params for one (checkpoint step, raw|ema) variant."""
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    if use_ema:
+        state, _ = restore_checkpoint(ckpt_dir, (flow_t, opt_t, flow_t),
+                                      step=step)
+        return state[0] if variant == "raw" else state[2]
+    state, _ = restore_checkpoint(ckpt_dir, (flow_t, opt_t), step=step)
+    return state[0]
+
+
 def main(argv):
     run = argv[0] if argv and "=" not in argv[0] else "community-small"
     num_samples, every, only_steps = None, 1, None
@@ -76,15 +87,10 @@ def main(argv):
     if only_steps is not None:
         steps = [s for s in steps if s in only_steps]
     for s in steps:
-        ckpt_dir = os.path.join(run_dir, "ckpt")
-        if use_ema:
-            # EMA runs checkpoint (params, opt_state, ema); compare both
-            state, _ = restore_checkpoint(ckpt_dir, (flow_t, opt_t, flow_t),
-                                          step=s)
-            variants = {"raw": state[0], "ema": state[2]}
-        else:
-            state, _ = restore_checkpoint(ckpt_dir, (flow_t, opt_t), step=s)
-            variants = {"raw": state[0]}
+        # EMA runs checkpoint (params, opt_state, ema); compare both
+        names = ("raw", "ema") if use_ema else ("raw",)
+        variants = {v: _restore_variant(run_dir, flow_t, opt_t, use_ema, s, v)
+                    for v in names}
         best = None
         for vname, flow_p in variants.items():
             best_t, best_thr, best_ci, best_es = 1.0, 0.5, False, False
@@ -125,13 +131,42 @@ def main(argv):
         out.append(rec)
         print("[sweep]", json.dumps(rec), flush=True)
 
+    # Two-stage selection: each row's train_score is the min of a 48-way
+    # grid probed with 64 samples, so taking the min across ~40 rows again
+    # overfits Monte-Carlo noise (observed: a fluky 20k-step row with train
+    # 0.54 but test orbit 0.48 beat the real optimum). Re-score the top-K
+    # candidate rows at their selected (T, thr, ci, es) with 3 fresh
+    # sampling seeds x 4x samples and rank on the average.
+    top_k = sorted(out, key=lambda r: r["train_score"])[:5]
+    for rec in top_k:
+        flow_p = _restore_variant(run_dir, flow_t, opt_t, use_ema,
+                                  rec["step"], rec["variant"])
+        scores = []
+        for rs in (9011, 9012, 9013):
+            probe = sample_graphs(
+                flow_p, ae_p, cfg.flow, cfg.ae, 256, size_dist, max_n,
+                seed=rs, batch_size=cfg.data.batch_size,
+                temperature=rec["temp"], threshold=rec["threshold"],
+                connect_isolated=rec["connect_isolated"],
+                edge_sample=rec["edge_sample"],
+            )
+            scores.append(degree_stats(train_g, probe)
+                          + clustering_stats(train_g, probe)
+                          + orbit_stats(train_g, probe))
+        rec["train_score_refined"] = round(float(np.mean(scores)), 4)
+        print("[sweep] refined", json.dumps(
+            {k: rec[k] for k in ("step", "variant", "train_score",
+                                 "train_score_refined")}), flush=True)
+
     fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
     with open(os.path.join(run_dir, fname), "w") as f:
         json.dump(out, f, indent=2)
     # Step selection must also stay on the train split: BEST (quotable) is
-    # the row whose TRAIN-split score is lowest; the test-optimal row is
-    # printed as a diagnostic only (selecting on it would leak the test set).
-    best = min(out, key=lambda r: r["train_score"])
+    # the refined-score minimum (falling back to the screening score for
+    # non-refined rows); the test-optimal row is printed as a diagnostic
+    # only (selecting on it would leak the test set).
+    best = min(out, key=lambda r: r.get("train_score_refined",
+                                        r["train_score"]))
     oracle = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"]
                  + r["mmd_orbit"])
     print("[sweep] BEST", json.dumps(best), flush=True)
