@@ -50,7 +50,7 @@ def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
 
 def main(argv):
     run = argv[0] if argv and "=" not in argv[0] else "community-small"
-    num_samples, every, only_steps = None, 1, None
+    num_samples, every, only_steps, refine_only = None, 1, None, False
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
@@ -58,6 +58,10 @@ def main(argv):
             every = int(a.split("=")[1])
         elif a.startswith("steps="):   # comma-list of exact checkpoint steps
             only_steps = {int(s) for s in a.split("=")[1].split(",")}
+        elif a.startswith("refine_only="):
+            # re-rank an existing stepsweep.json under the refined protocol
+            # without re-sweeping (minutes, not tens of minutes)
+            refine_only = a.split("=")[1].lower() in ("1", "true", "yes")
 
     run_dir = os.path.join("runs", run)
     with open(os.path.join(run_dir, "config.json")) as f:
@@ -83,9 +87,20 @@ def main(argv):
     use_ema = cfg.train.ema_decay > 0.0
 
     out = []
-    steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::every]
-    if only_steps is not None:
-        steps = [s for s in steps if s in only_steps]
+    if refine_only:
+        with open(os.path.join(run_dir, "stepsweep.json")) as f:
+            out = json.load(f)
+        have = set(_ckpt_steps(os.path.join(run_dir, "ckpt")))
+        dropped = [r for r in out if r["step"] not in have]
+        if dropped:
+            print(f"[sweep] refine_only: {len(dropped)} rows point at "
+                  "pruned checkpoints — they keep screening scores only",
+                  flush=True)
+        steps = []
+    else:
+        steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::every]
+        if only_steps is not None:
+            steps = [s for s in steps if s in only_steps]
     for s in steps:
         # EMA runs checkpoint (params, opt_state, ema); compare both
         names = ("raw", "ema") if use_ema else ("raw",)
@@ -137,18 +152,20 @@ def main(argv):
     # 0.54 but test orbit 0.48 beat the real optimum). Re-score the top-K
     # candidate rows at their selected (T, thr, ci, es) with 3 fresh
     # sampling seeds x 4x samples and rank on the average.
-    top_k = sorted(out, key=lambda r: r["train_score"])[:5]
+    have = set(_ckpt_steps(os.path.join(run_dir, "ckpt")))
+    top_k = sorted((r for r in out if r["step"] in have),
+                   key=lambda r: r["train_score"])[:5]
     for rec in top_k:
         flow_p = _restore_variant(run_dir, flow_t, opt_t, use_ema,
-                                  rec["step"], rec["variant"])
+                                  rec["step"], rec.get("variant", "raw"))
         scores = []
         for rs in (9011, 9012, 9013):
             probe = sample_graphs(
                 flow_p, ae_p, cfg.flow, cfg.ae, 256, size_dist, max_n,
                 seed=rs, batch_size=cfg.data.batch_size,
                 temperature=rec["temp"], threshold=rec["threshold"],
-                connect_isolated=rec["connect_isolated"],
-                edge_sample=rec["edge_sample"],
+                connect_isolated=rec.get("connect_isolated", False),
+                edge_sample=rec.get("edge_sample", False),
             )
             scores.append(degree_stats(train_g, probe)
                           + clustering_stats(train_g, probe)
