@@ -172,8 +172,8 @@ def main(argv):
                           + orbit_stats(train_g, probe))
         rec["train_score_refined"] = round(float(np.mean(scores)), 4)
         print("[sweep] refined", json.dumps(
-            {k: rec[k] for k in ("step", "variant", "train_score",
-                                 "train_score_refined")}), flush=True)
+            {k: rec.get(k) for k in ("step", "variant", "train_score",
+                                     "train_score_refined")}), flush=True)
 
     fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
     with open(os.path.join(run_dir, fname), "w") as f:
