@@ -97,3 +97,35 @@ def test_eval_ci_tool(smoke_run, monkeypatch):
     assert out["seeds"] == 2
     assert np.isfinite(out["mmd_degree"]) and out["mmd_degree_sd"] >= 0
     assert os.path.exists(os.path.join("runs", "smoke", "eval_ci.json"))
+
+
+def test_seed_select_prefers_refined(tmp_path, monkeypatch):
+    """seed_select must rank on train_score_refined when present: the
+    screening score's cross-row min overfits MC noise (a fluky row with
+    screening 0.54 but refined 1.07 once beat the real optimum)."""
+    monkeypatch.chdir(tmp_path)
+    rows_a = [  # fluky screening winner, poor refined score
+        {"step": 100, "variant": "raw", "temp": 0.9, "threshold": 0.5,
+         "connect_isolated": False, "edge_sample": False,
+         "train_score": 0.5, "train_score_refined": 1.1,
+         "mmd_degree": 0.4, "mmd_clustering": 0.4, "mmd_orbit": 0.4},
+        {"step": 200, "variant": "ema", "temp": 0.8, "threshold": 0.3,
+         "connect_isolated": False, "edge_sample": False,
+         "train_score": 0.7, "train_score_refined": 0.75,
+         "mmd_degree": 0.2, "mmd_clustering": 0.2, "mmd_orbit": 0.1}]
+    rows_b = [  # legacy sweep without refined scores
+        {"step": 300, "temp": 1.0, "threshold": 0.5,
+         "train_score": 0.9,
+         "mmd_degree": 0.3, "mmd_clustering": 0.3, "mmd_orbit": 0.3}]
+    for name, rows in (("run-a", rows_a), ("run-b", rows_b)):
+        d = tmp_path / "runs" / name
+        d.mkdir(parents=True)
+        with open(d / "stepsweep.json", "w") as f:
+            json.dump(rows, f)
+    from scripts import seed_select
+    res = seed_select.main(["run-a", "run-b"])
+    sel = res["selected"]
+    assert (sel["run"], sel["step"]) == ("run-a", 200)   # refined min wins
+    assert res["num_runs"] == 2
+    assert res["per_run_train_scores"]["run-b"] == 0.9   # fallback score
+    assert os.path.exists(tmp_path / "runs" / "seed_select.json")
