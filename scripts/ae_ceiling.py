@@ -29,6 +29,14 @@ from gnfx.train.loop import train_autoencoder
 
 
 def main(argv):
+    # ae_from=<run>: measure an EXISTING run's AE instead of training one
+    # (attribution: per-seed AE retraining makes pipeline seed variance
+    # conflate stage-1 and stage-2 luck)
+    ae_from = None
+    for a in list(argv):
+        if a.startswith("ae_from="):
+            ae_from = a.split("=", 1)[1]
+            argv = [x for x in argv if x is not a]
     cfg = load_config(argv)
     train_g, test_g, max_n = create_dataset(
         cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
@@ -37,7 +45,17 @@ def main(argv):
     adj_te, n_te = dataset_to_arrays(test_g, max_n)
 
     t0 = time.time()
-    params = train_autoencoder(cfg, adj_tr, n_tr)
+    if ae_from is not None:
+        from gnfx.train.checkpoint import restore_checkpoint
+
+        tpl = {"ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)}
+        src = os.path.join("runs", ae_from, "params_ae")
+        if not os.path.isdir(src):
+            src = os.path.join("runs", ae_from, "params")
+        params = restore_checkpoint(src, tpl)[0]["ae"]
+        print(f"[ceiling] AE loaded from {src}", flush=True)
+    else:
+        params = train_autoencoder(cfg, adj_tr, n_tr)
     train_s = time.time() - t0
 
     gb = batch_from_dense(adj_te, n_te)
