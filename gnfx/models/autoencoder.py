@@ -193,7 +193,15 @@ def decode_to_adjacency(
     support (every training graph has min degree ≥ 1): any real node left
     isolated by the threshold gets one edge to its nearest neighbor in
     embedding distance. Off by default; selected on the train split like
-    temperature/threshold."""
+    temperature/threshold.
+
+    `threshold` and `connect_isolated` are deliberately DYNAMIC (traced)
+    values: the selection grids sweep 24 (threshold, connect_isolated,
+    temperature) combos, and baking them in as Python constants meant 24
+    separate executables — on the axon relay that is ~20-60 s of compile
+    EACH per fresh process, plus per-executable host memory the relay
+    never returns. The isolated-node fix-up is therefore computed
+    unconditionally and blended with an arithmetic flag."""
     probs = decode_edges(params, cfg, x)
     pair = graph.node_mask[:, :, None] * graph.node_mask[:, None, :]
     eye = jnp.eye(graph.max_nodes)[None]
@@ -206,11 +214,10 @@ def decode_to_adjacency(
         hard = jnp.triu(hard, k=1)  # one draw per unordered pair
     # symmetrise (threshold decode is symmetric by construction, but be safe)
     hard = jnp.maximum(hard, jnp.transpose(hard, (0, 2, 1)))
-    if connect_isolated:
-        d2 = pairwise_sq_dists(x) + 1e9 * (1.0 - valid)
-        nn = jax.nn.one_hot(jnp.argmin(d2, axis=-1), graph.max_nodes)
-        iso = (jnp.sum(hard, axis=-1) == 0).astype(jnp.float32)
-        iso = iso * graph.node_mask * (graph.n_node > 1)[:, None]
-        add = nn * iso[..., None] * valid
-        hard = jnp.maximum(hard, jnp.maximum(add, jnp.transpose(add, (0, 2, 1))))
-    return hard
+    ci = jnp.asarray(connect_isolated, jnp.float32)
+    d2 = pairwise_sq_dists(x) + 1e9 * (1.0 - valid)
+    nn = jax.nn.one_hot(jnp.argmin(d2, axis=-1), graph.max_nodes)
+    iso = (jnp.sum(hard, axis=-1) == 0).astype(jnp.float32)
+    iso = iso * graph.node_mask * (graph.n_node > 1)[:, None]
+    add = nn * iso[..., None] * valid * ci
+    return jnp.maximum(hard, jnp.maximum(add, jnp.transpose(add, (0, 2, 1))))

@@ -24,8 +24,7 @@ from gnfx.models.flow import FlowConfig, flow_inverse
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fcfg", "acfg", "max_nodes", "temperature",
-                                    "threshold", "connect_isolated",
+                   static_argnames=("fcfg", "acfg", "max_nodes",
                                     "edge_sample"))
 def sample_batch_device(
     flow_params: dict,
