@@ -1,0 +1,102 @@
+"""Aggregate run artifacts into the round's results table.
+
+Usage:
+    python scripts/round_report.py [runs-dir]
+
+Pure CPU, no model evaluation: walks `runs/*/`, and for each run prints
+its train-split-selected stepsweep pick (preferring the refined score,
+like seed_select), the eval_ci mean +/- sd when present, and the final-
+step FINAL row from metrics.jsonl as a fallback. Ends with the
+cross-seed seed_select pick if runs/seed_select.json exists.
+
+Output is a markdown table ready to paste into BASELINE.md.
+"""
+
+import json
+import os
+import sys
+
+
+def _score(r):
+    return r.get("train_score_refined", r["train_score"])
+
+
+def _fmt(v):
+    return f"{v:.3f}" if isinstance(v, (int, float)) else "—"
+
+
+def _mmd3(d):
+    return (f"{_fmt(d.get('mmd_degree'))}/{_fmt(d.get('mmd_clustering'))}/"
+            f"{_fmt(d.get('mmd_orbit'))}")
+
+
+def report(runs_dir="runs"):
+    lines = ["| run | selected step | decode | test MMD deg/clus/orbit "
+             "(train-selected) | eval_ci (mean ± sd) |",
+             "|---|---|---|---|---|"]
+    for run in sorted(os.listdir(runs_dir)):
+        rd = os.path.join(runs_dir, run)
+        if not os.path.isdir(rd):
+            continue
+        row = {"run": run, "step": None, "decode": "—", "mmd": "—",
+               "ci": "—"}
+        sw = os.path.join(rd, "stepsweep.json")
+        if os.path.exists(sw):
+            with open(sw) as f:
+                rows = json.load(f)
+            if rows:
+                best = min(rows, key=_score)
+                row["step"] = best["step"]
+                row["decode"] = (
+                    f"{best.get('variant', 'raw')} T={best['temp']} "
+                    f"thr={best['threshold']}"
+                    f"{' es' if best.get('edge_sample') else ''}"
+                    f"{' ci' if best.get('connect_isolated') else ''}")
+                row["mmd"] = _mmd3(best)
+        else:
+            mj = os.path.join(rd, "metrics.jsonl")
+            if os.path.exists(mj):
+                final = None
+                with open(mj) as f:
+                    for line in f:
+                        r = json.loads(line)
+                        if r.get("stage") == "final":
+                            final = r
+                if final:
+                    row["step"] = f"{final['step']} (final — no sweep)"
+                    row["decode"] = (
+                        f"T={final.get('sample_temperature')} "
+                        f"thr={final.get('sample_threshold')}"
+                        f"{' es' if final.get('sample_edge_sample') else ''}"
+                        f"{' ci' if final.get('sample_connect_isolated') else ''}")
+                    row["mmd"] = _mmd3(final)
+        ci = os.path.join(rd, "eval_ci.json")
+        if os.path.exists(ci):
+            with open(ci) as f:
+                c = json.load(f)
+            parts = []
+            for k in ("mmd_degree", "mmd_clustering", "mmd_orbit"):
+                m, s = c.get(k), c.get(k + "_sd")
+                if m is not None:
+                    parts.append(f"{m:.3f}±{s:.3f}" if s is not None
+                                 else f"{m:.3f}")
+            if parts:
+                row["ci"] = " / ".join(parts)
+        if row["step"] is not None or row["ci"] != "—":
+            lines.append(f"| {row['run']} | {row['step']} | {row['decode']} "
+                         f"| {row['mmd']} | {row['ci']} |")
+    sel = os.path.join(runs_dir, "seed_select.json")
+    if os.path.exists(sel):
+        with open(sel) as f:
+            s = json.load(f)
+        b = s["selected"]
+        lines.append("")
+        lines.append(
+            f"seed_select pick: **{b['run']}@{b['step']}** "
+            f"(train {_score(b):.3f}) -> test {_mmd3(b)}; spread across "
+            f"{s['num_runs']} runs: {s['train_score_spread']:.3f}")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    print(report(sys.argv[1] if len(sys.argv) > 1 else "runs"))
