@@ -14,6 +14,7 @@ implicit in `jit` with a data-sharded input (SURVEY.md §2.2).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -27,6 +28,12 @@ from gnfx.graph import GraphBatch, batch_from_dense
 from gnfx.models import autoencoder as ae
 from gnfx.models.flow import FlowConfig, init_flow, log_prob
 from gnfx.train.checkpoint import restore_checkpoint, save_checkpoint, latest_step
+
+# Cooperative wind-down (tools/wind_down.sh): when this file appears, the
+# flow loop checkpoints and exits at the next chunk boundary, so a long
+# training job releases the TPU chip in seconds instead of being killed
+# mid-run (exit code 3 = incomplete, never marked done-ok by the worker).
+STOP_SENTINEL = os.environ.get("GNFX_STOP_SENTINEL", "/tmp/tpu_jobs/STOP")
 from gnfx.train.metrics import MetricsWriter
 
 
@@ -391,6 +398,14 @@ def train_flow(
                               heldout_nll_per_dim=nll_dim,
                               heldout_nll_per_graph=nll_graph)
         hit_ckpt = any(s % tcfg.checkpoint_every == 0 and s > 0 for s in steps)
+        if os.path.exists(STOP_SENTINEL) and not last:
+            save_checkpoint(tcfg.checkpoint_dir, chunk_end,
+                            (params, opt_state, ema) if use_ema
+                            else (params, opt_state),
+                            keep=tcfg.checkpoint_keep)
+            print(f"[gnfx] STOP sentinel at step {chunk_end} — checkpointed, "
+                  "exiting (resume=1 continues)", flush=True)
+            raise SystemExit(3)
         if hit_ckpt or last:
             state = (params, opt_state, ema) if use_ema else (params, opt_state)
             save_checkpoint(tcfg.checkpoint_dir, chunk_end, state,

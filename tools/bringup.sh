@@ -20,7 +20,9 @@ fi
 
 for job in tools/jobs/[0-9]*.py; do
     base=$(basename "$job")
-    if [ -e "$QUEUE/$base" ] || ls "$QUEUE/done/$base".* >/dev/null 2>&1; then
+    # only a done/*.ok marker means finished — .fail (including STOP-
+    # sentinel exits) must re-queue and resume
+    if [ -e "$QUEUE/$base" ] || [ -e "$QUEUE/done/$base.ok" ]; then
         continue
     fi
     cp "$job" "$QUEUE/$base"
