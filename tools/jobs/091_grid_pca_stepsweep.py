@@ -1,0 +1,8 @@
+"""Stepsweep the grid-pca run: train-split (step, temperature, decode)
+selection over retained checkpoints, refined top-5 re-score."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+from scripts.stepsweep import main
+
+main(["grid-pca"])
