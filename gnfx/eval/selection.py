@@ -1,0 +1,64 @@
+"""Train-split selection score for generation hyperparameters.
+
+One score, shared by every selection site (train_gnf.py final pick,
+scripts/stepsweep.py grid + refinement, and through stepsweep.json by
+scripts/seed_select.py): the three headline MMD statistics PLUS a
+connectivity penalty. Round-1 verdict: the flagship selection produced
+graphs only 55% connected while every real community-small graph is
+connected — the three MMDs alone do not price that structural defect in.
+
+The penalty is `weight * max(0, frac_connected(ref) - frac_connected(gen))`.
+At the default weight 1.0 a 0.45 connectivity gap costs more than the whole
+MMD sum of a good model, so it acts as a soft-hard constraint: decodes that
+repair connectivity (connect_components) pay zero penalty and compete on
+MMD alone; unrepaired decodes must beat them by the full gap. The TEST-side
+metrics quoted in BASELINE.md are unchanged (plain MMDs + frac_connected,
+reported by gnfx.eval.mmd.evaluate_generated) — only the held-out
+train-split selection signal changes.
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
+
+CONNECTIVITY_WEIGHT = 1.0
+
+
+def frac_connected(graphs) -> float:
+    """Fraction of graphs that are connected (empty graphs count as 0)."""
+    if not graphs:
+        return 0.0
+    ok = sum(1.0 for g in graphs
+             if g.number_of_nodes() > 0 and nx.is_connected(g))
+    return ok / len(graphs)
+
+
+def selection_score(
+    ref_graphs,
+    gen_graphs,
+    *,
+    connectivity_weight: float = CONNECTIVITY_WEIGHT,
+    ref_frac_connected: float | None = None,
+) -> dict:
+    """Score a generated set against the (train-split) reference set.
+
+    Returns a dict with the total under "score" plus its components, so
+    sweep artifacts can record what the selection actually traded off.
+    Pass ``ref_frac_connected`` to avoid recomputing it per grid point.
+    """
+    if ref_frac_connected is None:
+        ref_frac_connected = frac_connected(ref_graphs)
+    gen_conn = frac_connected(gen_graphs)
+    mmd = (degree_stats(ref_graphs, gen_graphs)
+           + clustering_stats(ref_graphs, gen_graphs)
+           + orbit_stats(ref_graphs, gen_graphs))
+    penalty = connectivity_weight * max(0.0, ref_frac_connected - gen_conn)
+    return {
+        "score": mmd + penalty,
+        "mmd_sum": mmd,
+        "connectivity_penalty": penalty,
+        "gen_frac_connected": gen_conn,
+        "ref_frac_connected": ref_frac_connected,
+    }

@@ -60,7 +60,7 @@ def sample_graphs_sharded(
             else chunk
         )
         n_node = jax.device_put(jnp.asarray(chunk_p), batch_sharding)
-        adj = sample_batch_device(
+        adj, _ = sample_batch_device(
             flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             n_node, max_nodes, temperature, threshold,
         )

@@ -193,21 +193,41 @@ def smc_log_prob(
     mu = ae.canonicalize_embeddings(mu, acfg, graph.node_mask)
     graph_k = _tile_graph(graph, local_k)
     mu_k = jnp.broadcast_to(mu, (local_k,) + mu.shape[1:])
-    mask_k = graph_k.node_mask[..., None]
-    g_full_k = graph_k.fully_connected()
-    betas = jnp.linspace(0.0, 1.0, num_stages + 1)
 
-    def target_logp(flow_p, x, beta):
-        return (log_prob(flow_p, fcfg, x, g_full_k)
-                + beta * edge_log_lik(ae_params, x, graph_k, acfg))
+    run = _smc_runner(fcfg, acfg, num_particles, local_k, num_stages, mesh)
+    return run(flow_params, ae_params, graph_k, mu_k, jnp.float32(sigma_q),
+               jnp.float32(mh_step), jnp.float32(ess_frac),
+               jax.random.fold_in(key, 1))
 
+
+_SMC_RUNNERS: dict = {}
+
+
+def _smc_runner(fcfg, acfg, num_particles, local_k, num_stages, mesh):
+    """Jitted shard_map SMC runner, cached by config like `_iwae_runner`
+    (the remote-relay compile is minutes-slow; σ_q / MH step / ESS fraction
+    and all params are traced arguments, so one compilation serves every
+    call at a given particle layout and graph shape)."""
+    cache_key = (fcfg, acfg, num_particles, local_k, num_stages, id(mesh))
+    if cache_key in _SMC_RUNNERS:
+        return _SMC_RUNNERS[cache_key]
+
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def run(flow_p, k):
+    def run(flow_p, ae_p, graph_k, mu_k, sigma_q, mh_step, ess_frac, k):
+        mask_k = graph_k.node_mask[..., None]
+        g_full_k = graph_k.fully_connected()
+        betas = jnp.linspace(0.0, 1.0, num_stages + 1)
+
+        def target_logp(x, beta):
+            return (log_prob(flow_p, fcfg, x, g_full_k)
+                    + beta * edge_log_lik(ae_p, x, graph_k, acfg))
+
         dev = jax.lax.axis_index("data")
         k_init, k_scan = jax.random.split(jax.random.fold_in(k, dev))
         # init from the proposal; initial weights target π_0 = p_flow
@@ -224,7 +244,7 @@ def smc_log_prob(
             x, logw, logz = carry
             beta_prev, beta, k_s = inp
             # incremental weight: p(G|x)^{Δβ}
-            inc = (beta - beta_prev) * edge_log_lik(ae_params, x, graph_k, acfg)
+            inc = (beta - beta_prev) * edge_log_lik(ae_p, x, graph_k, acfg)
             new_logw = logw + inc
             m = jax.lax.pmax(jnp.max(new_logw), "data")
             s = jax.lax.psum(jnp.sum(jnp.exp(new_logw - m)), "data")
@@ -254,8 +274,8 @@ def smc_log_prob(
             k_mh1 = jax.random.fold_in(k_mh1, dev)
             k_mh2 = jax.random.fold_in(k_mh2, dev)
             prop = x_rs + mh_step * jax.random.normal(k_mh1, x_rs.shape) * mask_k
-            lp_cur = target_logp(flow_p, x_rs, beta)
-            lp_prop = target_logp(flow_p, prop, beta)
+            lp_cur = target_logp(x_rs, beta)
+            lp_prop = target_logp(prop, beta)
             accept = (jnp.log(jax.random.uniform(k_mh2, lp_cur.shape))
                       < lp_prop - lp_cur)
             x_new = jnp.where(accept[:, None, None], prop, x_rs)
@@ -268,7 +288,8 @@ def smc_log_prob(
         )
         return logz
 
-    return run(flow_params, jax.random.fold_in(key, 1))
+    _SMC_RUNNERS[cache_key] = run
+    return run
 
 
 def heldout_nll_iwae(

@@ -11,7 +11,7 @@ is a north-star metric (BASELINE.json) — the device fan-out version lives in
 from __future__ import annotations
 
 import functools
-from typing import List
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +38,14 @@ def sample_batch_device(
     threshold: float = 0.5,
     connect_isolated: bool = False,
     edge_sample: bool = False,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N].
 
-    `edge_sample=True` draws A_uv ~ Bernoulli(Â_uv) instead of thresholding
-    (the model-consistent decode; see decode_to_adjacency)."""
+    Returns ``(hard_adjacency, edge_probs)``; the probabilities feed the
+    host-side connect-components repair (callers that only need the hard
+    adjacency simply never fetch them). `edge_sample=True` draws
+    A_uv ~ Bernoulli(Â_uv) instead of thresholding (the model-consistent
+    decode; see decode_to_adjacency)."""
     bsz = n_node.shape[0]
     mask = make_node_mask(n_node, max_nodes)
     nodes = jnp.zeros((bsz, max_nodes, fcfg.node_dim), jnp.float32)
@@ -51,9 +54,61 @@ def sample_batch_device(
     k_z, k_edge = jax.random.split(key)
     z = temperature * jax.random.normal(k_z, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
-    return ae.decode_to_adjacency(ae_params, acfg, x, gb, threshold,
+    hard = ae.decode_to_adjacency(ae_params, acfg, x, gb, threshold,
                                   connect_isolated,
                                   key=k_edge if edge_sample else None)
+    # masked edge probabilities (XLA CSEs the decoder matmul with the one
+    # inside decode_to_adjacency — this costs nothing extra)
+    pair = mask[:, :, None] * mask[:, None, :]
+    probs = ae.decode_edges(ae_params, acfg, x) * pair \
+        * (1.0 - jnp.eye(max_nodes)[None])
+    return hard, probs
+
+
+def _component_labels(adj: np.ndarray) -> np.ndarray:
+    """Connected-component label per node of a dense 0/1 adjacency [n, n]."""
+    n = adj.shape[0]
+    labels = np.full(n, -1, np.int32)
+    cur = 0
+    for s in range(n):
+        if labels[s] >= 0:
+            continue
+        stack = [s]
+        labels[s] = cur
+        while stack:
+            u = stack.pop()
+            for v in np.nonzero(adj[u])[0]:
+                if labels[v] < 0:
+                    labels[v] = cur
+                    stack.append(v)
+        cur += 1
+    return labels
+
+
+def connect_components_np(adj: np.ndarray, probs: np.ndarray,
+                          n: int) -> np.ndarray:
+    """Decode-side connectivity repair: while the n-node graph is
+    disconnected, add the highest-probability edge whose endpoints lie in
+    different components (≤ n−1 additions; each merges two components).
+
+    The analogue of `connect_isolated` one level up: every training graph
+    is connected, so the decode may condition on that support. Host-side
+    numpy (graphs are ≤ ~500 nodes; this is microseconds), selected on the
+    train split like temperature/threshold via the connectivity-aware
+    selection score (gnfx.eval.selection)."""
+    out = adj.copy()
+    if n <= 1:
+        return out
+    a = out[:n, :n]
+    p = probs[:n, :n]
+    while True:
+        labels = _component_labels(a)
+        if labels.max() == 0:
+            return out
+        cross = labels[:, None] != labels[None, :]
+        masked = np.where(cross, p, -1.0)
+        u, v = np.unravel_index(int(np.argmax(masked)), masked.shape)
+        a[u, v] = a[v, u] = 1.0
 
 
 def sample_graphs(
@@ -72,6 +127,7 @@ def sample_graphs(
     threshold: float = 0.5,
     connect_isolated: bool = False,
     edge_sample: bool = False,
+    connect_components: bool = False,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -84,11 +140,17 @@ def sample_graphs(
         chunk = sizes[start : start + batch_size]
         pad = batch_size - len(chunk)
         chunk_p = np.concatenate([chunk, np.full(pad, min_nodes, np.int32)]) if pad else chunk
-        adj = sample_batch_device(
+        adj, probs = sample_batch_device(
             flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
             connect_isolated, edge_sample,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
+        if connect_components:
+            probs_np = np.asarray(jax.device_get(probs))[: len(chunk)]
+            adj_np = np.stack([
+                connect_components_np(adj_np[i], probs_np[i], int(chunk[i]))
+                for i in range(len(chunk))
+            ])
         out.extend(arrays_to_networkx(adj_np, chunk))
     return out

@@ -106,6 +106,13 @@ def main():
         results["rows"].append(row)
         print(json.dumps(row), flush=True)
     print("SUMMARY " + json.dumps(results))
+    # persist per backend: the ≥80% scaling-efficiency north star needs a
+    # recorded artifact, not a scrollback line (round-1 verdict, weak #5)
+    os.makedirs("runs", exist_ok=True)
+    path = os.path.join("runs", f"scaling_{results['backend']}.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {path}", flush=True)
     return results
 
 

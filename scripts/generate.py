@@ -78,9 +78,12 @@ def load_run(argv):
     if connect_isolated is None:
         connect_isolated = bool(res.get("sample_connect_isolated", False))
     edge_sample = bool(res.get("sample_edge_sample", False))
+    connect_components = bool(res.get("sample_connect_components", False))
     for a in argv:
         if a.startswith("edge_sample="):
             edge_sample = a.split("=")[1].lower() in ("1", "true", "yes")
+        elif a.startswith("connect_components="):
+            connect_components = a.split("=")[1].lower() in ("1", "true", "yes")
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -121,7 +124,8 @@ def load_run(argv):
     print(f"[gnfx] loaded params at step {step} from {run_dir}", flush=True)
     sampling = {"temperature": temperature, "threshold": threshold,
                 "connect_isolated": connect_isolated,
-                "edge_sample": edge_sample}
+                "edge_sample": edge_sample,
+                "connect_components": connect_components}
     return cfg, params, step, sampling, num_samples, seed, run_dir
 
 

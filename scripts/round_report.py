@@ -51,7 +51,8 @@ def report(runs_dir="runs"):
                     f"{best.get('variant', 'raw')} T={best['temp']} "
                     f"thr={best['threshold']}"
                     f"{' es' if best.get('edge_sample') else ''}"
-                    f"{' ci' if best.get('connect_isolated') else ''}")
+                    f"{' ci' if best.get('connect_isolated') else ''}"
+                    f"{' cc' if best.get('connect_components') else ''}")
                 row["mmd"] = _mmd3(best)
         else:
             mj = os.path.join(rd, "metrics.jsonl")
@@ -68,7 +69,8 @@ def report(runs_dir="runs"):
                         f"T={final.get('sample_temperature')} "
                         f"thr={final.get('sample_threshold')}"
                         f"{' es' if final.get('sample_edge_sample') else ''}"
-                        f"{' ci' if final.get('sample_connect_isolated') else ''}")
+                        f"{' ci' if final.get('sample_connect_isolated') else ''}"
+                        f"{' cc' if final.get('sample_connect_components') else ''}")
                     row["mmd"] = _mmd3(final)
         ci = os.path.join(rd, "eval_ci.json")
         if os.path.exists(ci):

@@ -54,7 +54,8 @@ def main(argv):
               f"{r['mmd_degree']:.3f}/{r['mmd_clustering']:.3f}/"
               f"{r.get('mmd_orbit', float('nan')):.3f} @ step {r['step']} "
               f"({r.get('variant', 'raw')}, T={r['temp']}, "
-              f"thr={r['threshold']}, es={r.get('edge_sample', False)})",
+              f"thr={r['threshold']}, es={r.get('edge_sample', False)}, "
+              f"cc={r.get('connect_components', False)})",
               flush=True)
 
     best = min(rows, key=score)

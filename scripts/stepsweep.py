@@ -5,11 +5,13 @@ Usage:
 
 Sample quality is non-monotone in training steps (BASELINE.md), so the
 stopping point is a selection problem: for every retained flow checkpoint
-of `runs/<run-name>/`, select (temperature, decode threshold) on the TRAIN
-split, then report the full MMD protocol on the TEST split. Results go to
-`runs/<run-name>/stepsweep.json`; BEST (the row with the lowest TRAIN-split
-score — step selection stays held-out too) is what BASELINE.md quotes; the
-test-oracle row is printed as a diagnostic of the remaining selection gap.
+of `runs/<run-name>/`, select (temperature, decode threshold, repair) on
+the TRAIN split via the connectivity-aware score (gnfx.eval.selection:
+MMD sum + penalty for under-connected samples), then report the full MMD
+protocol on the TEST split. Results go to `runs/<run-name>/stepsweep.json`;
+BEST (the row with the lowest TRAIN-split score — step selection stays
+held-out too) is what BASELINE.md quotes; the test-oracle row is printed
+as a diagnostic of the remaining selection gap.
 """
 
 import json
@@ -23,8 +25,8 @@ import numpy as np
 
 from gnfx.config import from_dict
 from gnfx.data import create_dataset, dataset_to_arrays, empirical_size_distribution
-from gnfx.eval.mmd import (clustering_stats, degree_stats, evaluate_generated,
-                           orbit_stats)
+from gnfx.eval.mmd import evaluate_generated
+from gnfx.eval.selection import frac_connected, selection_score
 from gnfx.models import autoencoder as ae_mod
 from gnfx.models.flow import init_flow
 from gnfx.sample import sample_graphs
@@ -35,6 +37,10 @@ TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 # (threshold, edge_sample): hard thresholds + Bernoulli edge sampling (the
 # model-consistent decode; see gnfx.models.autoencoder.decode_to_adjacency)
 DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.5, True))
+# (connect_isolated, connect_components): no repair / isolated-node fixup /
+# component merge (subsumes isolation — a connected graph has no isolates).
+# Selected on the train split via the connectivity-aware selection score.
+REPAIRS = ((False, False), (True, False), (False, True))
 
 
 def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
@@ -72,6 +78,7 @@ def main(argv):
     adj_tr, n_tr = dataset_to_arrays(train_g, max_n)
     size_dist = empirical_size_distribution(n_tr, max_n)
     n_final = num_samples or max(len(test_g) * 4, 64)
+    conn_tr = frac_connected(train_g)
 
     ae_t = ae_mod.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)
     flow_t = init_flow(jax.random.PRNGKey(0), cfg.flow)
@@ -108,34 +115,39 @@ def main(argv):
                     for v in names}
         best = None
         for vname, flow_p in variants.items():
-            best_t, best_thr, best_ci, best_es = 1.0, 0.5, False, False
-            best_score = float("inf")
+            pick = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False)
+            best_score, best_parts = float("inf"), {}
             for T in TEMPS:
                 for thr, es in DECODES:
-                    for ci in (False, True):
+                    for ci, cc in REPAIRS:
                         probe = sample_graphs(
                             flow_p, ae_p, cfg.flow, cfg.ae, 64, size_dist,
                             max_n, seed=901, batch_size=cfg.data.batch_size,
                             temperature=T, threshold=thr, connect_isolated=ci,
-                            edge_sample=es,
+                            edge_sample=es, connect_components=cc,
                         )
-                        sc = (degree_stats(train_g, probe)
-                              + clustering_stats(train_g, probe)
-                              + orbit_stats(train_g, probe))
-                        if sc < best_score:
-                            best_t, best_thr, best_ci, best_es, best_score = (
-                                T, thr, ci, es, sc)
+                        parts = selection_score(
+                            train_g, probe, ref_frac_connected=conn_tr)
+                        if parts["score"] < best_score:
+                            pick = dict(temp=T, thr=thr, ci=ci, es=es, cc=cc)
+                            best_score, best_parts = parts["score"], parts
             final = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, n_final,
                                   size_dist, max_n, seed=77,
                                   batch_size=cfg.data.batch_size,
-                                  temperature=best_t, threshold=best_thr,
-                                  connect_isolated=best_ci,
-                                  edge_sample=best_es)
+                                  temperature=pick["temp"],
+                                  threshold=pick["thr"],
+                                  connect_isolated=pick["ci"],
+                                  edge_sample=pick["es"],
+                                  connect_components=pick["cc"])
             res = evaluate_generated(test_g, final)
-            rec = {"step": s, "variant": vname, "temp": best_t,
-                   "threshold": best_thr, "connect_isolated": best_ci,
-                   "edge_sample": best_es,
+            rec = {"step": s, "variant": vname, "temp": pick["temp"],
+                   "threshold": pick["thr"], "connect_isolated": pick["ci"],
+                   "edge_sample": pick["es"],
+                   "connect_components": pick["cc"],
                    "train_score": round(best_score, 4),
+                   "train_mmd_sum": round(best_parts["mmd_sum"], 4),
+                   "train_conn_penalty": round(
+                       best_parts["connectivity_penalty"], 4),
                    **{k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in res.items()}}
             # report the variant that generalises better, selected on the
@@ -166,10 +178,10 @@ def main(argv):
                 temperature=rec["temp"], threshold=rec["threshold"],
                 connect_isolated=rec.get("connect_isolated", False),
                 edge_sample=rec.get("edge_sample", False),
+                connect_components=rec.get("connect_components", False),
             )
-            scores.append(degree_stats(train_g, probe)
-                          + clustering_stats(train_g, probe)
-                          + orbit_stats(train_g, probe))
+            scores.append(selection_score(
+                train_g, probe, ref_frac_connected=conn_tr)["score"])
         rec["train_score_refined"] = round(float(np.mean(scores)), 4)
         print("[sweep] refined", json.dumps(
             {k: rec.get(k) for k in ("step", "variant", "train_score",

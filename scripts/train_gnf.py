@@ -160,51 +160,67 @@ def main(argv):
                     {"ae": ae_params, "flow": flow_params},
                     meta={"preset": cfg.name})
 
-    # Temperature selection on the TRAIN split (cheap degree+clustering MMD),
-    # then final sampling + full MMD eval against the held-out test split.
+    # Generation-hyperparameter selection on the TRAIN split (connectivity-
+    # aware score), then final sampling + full MMD eval against the held-out
+    # test split.
     size_dist = empirical_size_distribution(n_tr, max_nodes)
-    from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
+    from gnfx.eval.selection import frac_connected, selection_score
 
+    conn_tr = frac_connected(train_graphs)
     # decode candidates: thresholds (reference rule, density calibration) +
-    # Bernoulli edge sampling (model-consistent decode)
+    # Bernoulli edge sampling (model-consistent decode); repairs: none /
+    # isolated-node fixup / component merge
     decodes = [(0.3, False), (0.5, False), (0.7, False), (0.5, True)]
-    best_temp, best_thr, best_ci, best_es = 1.0, 0.5, False, False
+    repairs = [(False, False), (True, False), (False, True)]
+    best = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False)
     best_score = float("inf")
     for temp in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
         for thr, es in decodes:
-            for ci in (False, True):
+            for ci, cc in repairs:
                 probe = sample_graphs(
                     flow_params, ae_params, cfg.flow, cfg.ae, 64, size_dist,
                     max_nodes, seed=cfg.train.seed + 100,
                     batch_size=cfg.data.batch_size,
                     temperature=temp, threshold=thr, connect_isolated=ci,
-                    edge_sample=es,
+                    edge_sample=es, connect_components=cc,
                 )
-                score = (degree_stats(train_graphs, probe)
-                         + clustering_stats(train_graphs, probe)
-                         + orbit_stats(train_graphs, probe))
-                print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)} es {int(es)}:"
-                      f" train-split MMD score {score:.3f}", flush=True)
+                parts = selection_score(train_graphs, probe,
+                                        ref_frac_connected=conn_tr)
+                score = parts["score"]
+                print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)} es {int(es)}"
+                      f" cc {int(cc)}: train-split score {score:.3f} "
+                      f"(mmd {parts['mmd_sum']:.3f} "
+                      f"conn {parts['gen_frac_connected']:.2f})", flush=True)
                 if score < best_score:
-                    best_temp, best_thr, best_ci, best_es, best_score = (
-                        temp, thr, ci, es, score)
+                    best = dict(temp=temp, thr=thr, ci=ci, es=es, cc=cc)
+                    best_score = score
 
-    t0 = time.time()
     num_samples = max(len(test_graphs) * 4, 64)
+    sample_kw = dict(temperature=best["temp"], threshold=best["thr"],
+                     connect_isolated=best["ci"], edge_sample=best["es"],
+                     connect_components=best["cc"])
+    # warm-up at the selected config (one batch) so graphs_per_s reports
+    # sustained throughput, not compile/dispatch-cold latency
+    sample_graphs(flow_params, ae_params, cfg.flow, cfg.ae,
+                  cfg.data.batch_size, size_dist, max_nodes,
+                  seed=cfg.train.seed, batch_size=cfg.data.batch_size,
+                  **sample_kw)
+    t0 = time.time()
     sampled = sample_graphs(
         flow_params, ae_params, cfg.flow, cfg.ae, num_samples, size_dist,
         max_nodes, seed=cfg.train.seed, batch_size=cfg.data.batch_size,
-        temperature=best_temp, threshold=best_thr, connect_isolated=best_ci,
-        edge_sample=best_es,
+        **sample_kw,
     )
     sample_time = time.time() - t0
     results = evaluate_generated(test_graphs, sampled)
     results["graphs_per_s"] = num_samples / sample_time
     results["num_samples"] = num_samples
-    results["sample_temperature"] = best_temp
-    results["sample_threshold"] = best_thr
-    results["sample_connect_isolated"] = best_ci
-    results["sample_edge_sample"] = best_es
+    results["sample_temperature"] = best["temp"]
+    results["sample_threshold"] = best["thr"]
+    results["sample_connect_isolated"] = best["ci"]
+    results["sample_edge_sample"] = best["es"]
+    results["sample_connect_components"] = best["cc"]
+    results["train_selection_score"] = round(best_score, 4)
 
     # importance-weighted held-out NLL of full graphs (particle-sharded
     # IWAE over the device mesh — BASELINE "held-out NLL" metric)

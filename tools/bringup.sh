@@ -21,8 +21,11 @@ fi
 for job in tools/jobs/[0-9]*.py; do
     base=$(basename "$job")
     # only a done/*.ok marker means finished — .fail (including STOP-
-    # sentinel exits) must re-queue and resume
-    if [ -e "$QUEUE/$base" ] || [ -e "$QUEUE/done/$base.ok" ]; then
+    # sentinel exits) must re-queue and resume. tools/jobs/done/ holds
+    # COMMITTED markers (written when a job's artifacts are committed),
+    # so finished work survives reimages and is never re-run.
+    if [ -e "$QUEUE/$base" ] || [ -e "$QUEUE/done/$base.ok" ] \
+        || [ -e "tools/jobs/done/$base.ok" ]; then
         continue
     fi
     cp "$job" "$QUEUE/$base"
