@@ -84,7 +84,17 @@ def main():
     max_n, per_dev = 20, 32
 
     n_avail = len(jax.devices())
-    results = {"backend": jax.default_backend(), "devices": n_avail, "rows": []}
+    results = {"backend": jax.default_backend(), "devices": n_avail,
+               "host_cpu_cores": os.cpu_count(), "rows": []}
+    if jax.default_backend() == "cpu" and n_avail > (os.cpu_count() or 1):
+        # virtual CPU devices share physical cores: beyond core saturation,
+        # per-device compute halves each doubling, so measured "efficiency"
+        # reflects host oversubscription, NOT collective/ICI overhead. The
+        # curve validates the sharded code paths; the ≥80% north star is a
+        # real-pod claim this box cannot measure.
+        results["caveat"] = (
+            f"{n_avail} virtual devices on {os.cpu_count()} physical cores; "
+            "efficiency capped by host oversubscription, not collectives")
     base_train = base_sample = None
     sizes = [s for s in (1, 2, 4, 8) if s <= n_avail]
     for n in sizes:
