@@ -105,7 +105,9 @@ def main(argv):
                   flush=True)
         steps = []
     else:
-        steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::every]
+        # stride anchored at the LAST checkpoint (the final step is often
+        # the winner; [::every] from the front would drop it)
+        steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::-1][::every][::-1]
         if only_steps is not None:
             steps = [s for s in steps if s in only_steps]
     for s in steps:

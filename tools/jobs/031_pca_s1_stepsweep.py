@@ -4,4 +4,4 @@ import sys
 sys.path.insert(0, "/root/repo")
 from scripts.stepsweep import main
 
-main(["community-small-pca-s1"])
+main(["community-small-pca-s1", "every=2"])  # every-2nd ckpt: halves sweep wall-time, keeps 40k-step coverage

@@ -5,4 +5,4 @@ import sys
 sys.path.insert(0, "/root/repo")
 from scripts.stepsweep import main
 
-main(["grid-pca"])
+main(["grid-pca", "every=2"])  # every-2nd ckpt: halves sweep wall-time, keeps 40k-step coverage
