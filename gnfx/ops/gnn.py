@@ -17,9 +17,9 @@ Two message modes:
   * ``pairwise`` — M depends on (sender, receiver): first layer computed as a
                    broadcast sum of two projections (never materialising the
                    concat), then aggregated. O(B·N²·H) memory — fine for the
-                   small/medium graphs of every BASELINE config; the Pallas
-                   blockwise kernel (gnfx/ops/pallas_mp.py) tiles it for
-                   large N.
+                   small/medium graphs of every BASELINE config; for node
+                   counts beyond one device see the ring node-sharded path
+                   (gnfx/parallel/node_sharded.py).
 
 A segment-sum aggregation oracle is provided for tests only (SURVEY.md §4.1
 "masked-MP equivalence").

@@ -6,8 +6,6 @@ TPU-native equivalents of sanitizers for a pure-functional stack:
   * `checkify_call(fn)` — wraps a function with `jax.experimental.checkify`
     NaN/div checks so errors become returned values (usable inside jit
     without aborting the step, e.g. in the training loop);
-  * Pallas kernels run under `interpret=True` in CI (tests/test_pallas.py),
-    which is the kernel-level sanitizer;
   * the native C++ orbit counter builds with -fsanitize=address,undefined in
     its CI target (tests/test_native_sanitize.py).
 """
