@@ -1,6 +1,6 @@
 """gnfx — a TPU-native probabilistic inference engine for graph normalizing flows.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+A from-scratch JAX/XLA framework with the capabilities of the reference
 `jliu/graph-normalizing-flows` (arXiv:1905.13177): GRevNet reversible
 message-passing coupling layers with exact change-of-variables log-likelihood,
 two-stage graph generation (graph auto-encoder + flow over node embeddings),

@@ -25,7 +25,7 @@ from gnfx.models.flow import FlowConfig, flow_inverse
 
 @functools.partial(jax.jit,
                    static_argnames=("fcfg", "acfg", "max_nodes",
-                                    "edge_sample"))
+                                    "edge_sample", "want_probs"))
 def sample_batch_device(
     flow_params: dict,
     ae_params: dict | None,
@@ -38,14 +38,17 @@ def sample_batch_device(
     threshold: float = 0.5,
     connect_isolated: bool = False,
     edge_sample: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    want_probs: bool = False,
+) -> Tuple[jax.Array, jax.Array | None]:
     """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N].
 
-    Returns ``(hard_adjacency, edge_probs)``; the probabilities feed the
-    host-side connect-components repair (callers that only need the hard
-    adjacency simply never fetch them). `edge_sample=True` draws
-    A_uv ~ Bernoulli(Â_uv) instead of thresholding (the model-consistent
-    decode; see decode_to_adjacency)."""
+    Returns ``(hard_adjacency, edge_probs | None)``: the probabilities feed
+    the host-side connect-components repair and are only materialised when
+    ``want_probs`` (a second [B, N, N] jit output would otherwise tax every
+    sampling call — it is a returned buffer, not DCE-able). Static flag:
+    costs one extra executable, compiled only when the repair is used.
+    `edge_sample=True` draws A_uv ~ Bernoulli(Â_uv) instead of thresholding
+    (the model-consistent decode; see decode_to_adjacency)."""
     bsz = n_node.shape[0]
     mask = make_node_mask(n_node, max_nodes)
     nodes = jnp.zeros((bsz, max_nodes, fcfg.node_dim), jnp.float32)
@@ -57,6 +60,8 @@ def sample_batch_device(
     hard = ae.decode_to_adjacency(ae_params, acfg, x, gb, threshold,
                                   connect_isolated,
                                   key=k_edge if edge_sample else None)
+    if not want_probs:
+        return hard, None
     # masked edge probabilities (XLA CSEs the decoder matmul with the one
     # inside decode_to_adjacency — this costs nothing extra)
     pair = mask[:, :, None] * mask[:, None, :]
@@ -143,7 +148,7 @@ def sample_graphs(
         adj, probs = sample_batch_device(
             flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
-            connect_isolated, edge_sample,
+            connect_isolated, edge_sample, want_probs=connect_components,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         if connect_components:

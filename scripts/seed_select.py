@@ -37,6 +37,17 @@ def main(argv):
                 rows.append({**r, "run": run})
     if not rows:
         raise SystemExit("no stepsweep rows found")
+    # Scale guard (same rule as stepsweep BEST): rows swept before the
+    # connectivity-aware protocol carry penalty-free scores and must not
+    # compete on the raw fallback; rank only current-protocol rows when
+    # any are present.
+    pool = [r for r in rows if "train_score_refined" in r
+            or "train_conn_penalty" in r]
+    if pool and len(pool) < len(rows):
+        print(f"[seed_select] dropped {len(rows) - len(pool)} pre-protocol "
+              "rows (no connectivity penalty — score scale incomparable)",
+              flush=True)
+        rows = pool
 
     def score(r):
         # prefer the refined (multi-seed, 4x-sample) train score when the

@@ -196,8 +196,15 @@ def main(argv):
     # the refined-score minimum (falling back to the screening score for
     # non-refined rows); the test-optimal row is printed as a diagnostic
     # only (selecting on it would leak the test set).
-    best = min(out, key=lambda r: r.get("train_score_refined",
-                                        r["train_score"]))
+    # Scale guard: rows swept before the connectivity-aware protocol carry
+    # penalty-FREE screening scores (no "train_conn_penalty" key) and must
+    # not compete with penalty-inflated scores on the raw fallback — in a
+    # mixed file (refine_only on an old sweep), rank only rows that were
+    # re-scored under the current protocol.
+    pool = [r for r in out if "train_score_refined" in r
+            or "train_conn_penalty" in r]
+    best = min(pool or out, key=lambda r: r.get("train_score_refined",
+                                                r["train_score"]))
     oracle = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"]
                  + r["mmd_orbit"])
     print("[sweep] BEST", json.dumps(best), flush=True)

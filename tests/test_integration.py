@@ -113,9 +113,11 @@ def test_seed_select_prefers_refined(tmp_path, monkeypatch):
          "connect_isolated": False, "edge_sample": False,
          "train_score": 0.7, "train_score_refined": 0.75,
          "mmd_degree": 0.2, "mmd_clustering": 0.2, "mmd_orbit": 0.1}]
-    rows_b = [  # legacy sweep without refined scores
+    rows_b = [  # legacy sweep: no refined score, no connectivity penalty —
+        # its screening score is on the penalty-free scale and must NOT
+        # compete with current-protocol rows (scale guard)
         {"step": 300, "temp": 1.0, "threshold": 0.5,
-         "train_score": 0.9,
+         "train_score": 0.3,
          "mmd_degree": 0.3, "mmd_clustering": 0.3, "mmd_orbit": 0.3}]
     for name, rows in (("run-a", rows_a), ("run-b", rows_b)):
         d = tmp_path / "runs" / name
@@ -125,7 +127,11 @@ def test_seed_select_prefers_refined(tmp_path, monkeypatch):
     from scripts import seed_select
     res = seed_select.main(["run-a", "run-b"])
     sel = res["selected"]
-    assert (sel["run"], sel["step"]) == ("run-a", 200)   # refined min wins
-    assert res["num_runs"] == 2
-    assert res["per_run_train_scores"]["run-b"] == 0.9   # fallback score
+    # refined min wins; run-b's 0.3 (penalty-free scale, nominally lowest)
+    # is excluded by the scale guard
+    assert (sel["run"], sel["step"]) == ("run-a", 200)
+    assert res["num_runs"] == 1
     assert os.path.exists(tmp_path / "runs" / "seed_select.json")
+    # all-legacy inputs still work (nothing to guard against)
+    res_b = seed_select.main(["run-b"])
+    assert res_b["selected"]["step"] == 300
