@@ -93,6 +93,14 @@ def main(argv):
     opt_t = tx.init(flow_t)
     use_ema = cfg.train.ema_decay > 0.0
 
+    temps, decodes, n_probe = TEMPS, DECODES, 64
+    if max_n >= 128:
+        # big-N screening reduction (same rationale as train_gnf.py: the
+        # grid is host-orbit-bound at N≈500, minutes per dense probe)
+        temps = (1.0, 0.8, 0.6)
+        decodes = ((0.5, False), (0.3, False), (0.5, True))
+        n_probe = 32
+
     out = []
     if refine_only:
         with open(os.path.join(run_dir, "stepsweep.json")) as f:
@@ -119,12 +127,13 @@ def main(argv):
         for vname, flow_p in variants.items():
             pick = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False)
             best_score, best_parts = float("inf"), {}
-            for T in TEMPS:
-                for thr, es in DECODES:
+            for T in temps:
+                for thr, es in decodes:
                     for ci, cc in REPAIRS:
                         probe = sample_graphs(
-                            flow_p, ae_p, cfg.flow, cfg.ae, 64, size_dist,
-                            max_n, seed=901, batch_size=cfg.data.batch_size,
+                            flow_p, ae_p, cfg.flow, cfg.ae, n_probe,
+                            size_dist, max_n, seed=901,
+                            batch_size=cfg.data.batch_size,
                             temperature=T, threshold=thr, connect_isolated=ci,
                             edge_sample=es, connect_components=cc,
                         )

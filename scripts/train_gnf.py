@@ -172,14 +172,24 @@ def main(argv):
     # isolated-node fixup / component merge
     decodes = [(0.3, False), (0.5, False), (0.7, False), (0.5, True)]
     repairs = [(False, False), (True, False), (False, True)]
+    temps = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
+    n_probe = 64
+    if max_nodes >= 128:
+        # big-N screening: the grid's cost is HOST-side graph statistics
+        # (orbit ESU on dense low-threshold decodes at N≈500 runs minutes
+        # PER PROBE — measured on protein-v1), not device sampling. Shrink
+        # the grid and the probe set; the final eval below stays full.
+        temps = (1.0, 0.8, 0.6)
+        decodes = [(0.5, False), (0.3, False), (0.5, True)]
+        n_probe = 32
     best = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False)
     best_score = float("inf")
-    for temp in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
+    for temp in temps:
         for thr, es in decodes:
             for ci, cc in repairs:
                 probe = sample_graphs(
-                    flow_params, ae_params, cfg.flow, cfg.ae, 64, size_dist,
-                    max_nodes, seed=cfg.train.seed + 100,
+                    flow_params, ae_params, cfg.flow, cfg.ae, n_probe,
+                    size_dist, max_nodes, seed=cfg.train.seed + 100,
                     batch_size=cfg.data.batch_size,
                     temperature=temp, threshold=thr, connect_isolated=ci,
                     edge_sample=es, connect_components=cc,
