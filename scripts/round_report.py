@@ -100,5 +100,12 @@ def report(runs_dir="runs"):
     return "\n".join(lines)
 
 
+def main(argv):
+    """Job-queue entry point (tools/jobs/999_round_report.py imports this)."""
+    out = report(argv[0] if argv else "runs")
+    print(out)
+    return out
+
+
 if __name__ == "__main__":
-    print(report(sys.argv[1] if len(sys.argv) > 1 else "runs"))
+    main(sys.argv[1:])
