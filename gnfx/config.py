@@ -173,6 +173,27 @@ PRESETS: dict[str, ExperimentConfig] = {
 }
 
 
+def _pca_winner(base: str) -> ExperimentConfig:
+    """The measured flagship recipe (rounds 6-10, BASELINE.md "Current
+    measured"): pca canonicalization of the AE embeddings + 400k flow steps
+    at 256-step chunked dispatch. Until round 3 these existed only as
+    override stacks in tools/jobs/*, so `train_gnf.py community-small`
+    reproduced a superseded (round-6 losing) recipe; these presets make the
+    winners the zero-override path."""
+    b = PRESETS[base]
+    return dataclasses.replace(
+        b,
+        name=f"{base}-pca",
+        ae=dataclasses.replace(b.ae, canonicalize="pca"),
+        train=dataclasses.replace(b.train, num_steps=400000,
+                                  steps_per_call=256),
+    )
+
+
+for _b in ("community-small", "ego-small", "grid"):
+    PRESETS[f"{_b}-pca"] = _pca_winner(_b)
+
+
 # ---------------------------------------------------------------------------
 # (de)serialisation + CLI overrides
 # ---------------------------------------------------------------------------

@@ -1,0 +1,49 @@
+"""Config registry: the shipped presets must BE the measured winners.
+
+Round-2 verdict (weak #4): the flagship recipe (pca canonicalization, 400k
+steps) existed only as override stacks in tools/jobs/*, so a fresh user
+running the named preset reproduced a superseded round-6 loser. These tests
+pin the derived ``*-pca`` presets to the committed flagship runs' serialized
+configs, so the zero-override path and the measured artifacts can't drift
+apart silently.
+"""
+
+import json
+import os
+
+import pytest
+
+from gnfx.config import PRESETS, load_config, to_dict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("name", ["community-small-pca", "ego-small-pca",
+                                  "grid-pca"])
+def test_pca_presets_registered(name):
+    cfg = PRESETS[name]
+    assert cfg.ae.canonicalize == "pca"
+    assert cfg.train.num_steps == 400000
+    assert cfg.train.steps_per_call == 256
+    assert cfg.name == name
+
+
+@pytest.mark.parametrize("run", ["community-small-pca", "ego-small-pca",
+                                 "grid-pca"])
+def test_pca_preset_matches_committed_flagship(run):
+    """`train_gnf.py <run>` with zero overrides == the committed run's
+    config.json (checkpoint_dir is set at runtime and excluded)."""
+    path = os.path.join(REPO, "runs", run, "config.json")
+    if not os.path.exists(path):
+        pytest.skip(f"no committed artifact for {run}")
+    want = json.load(open(path))
+    got = to_dict(load_config([run]))
+    want["train"].pop("checkpoint_dir", None)
+    got["train"].pop("checkpoint_dir", None)
+    assert got == want
+
+
+def test_override_on_derived_preset():
+    cfg = load_config(["community-small-pca", "train.seed=3"])
+    assert cfg.train.seed == 3
+    assert cfg.ae.canonicalize == "pca"
