@@ -51,6 +51,15 @@ class AEConfig:
     train_steps: int = 3000
     lr: float = 1e-3
     pos_weight: float = 2.0         # BCE class weight on edges (sparse graphs)
+    # Bridge-aware reconstruction (round-10 diagnosis: the distance decoder
+    # drops a graph's LONGEST true-edge distances first — exactly the
+    # inter-community bridges — so the AE roundtrip of real community
+    # graphs was only 48% connected). >0 multiplies each true edge's BCE
+    # weight by 1 + bridge_weight·relu(d²_uv/mean_pos_d² − 1), focusing
+    # training on the longest (most at-risk) edges. Distances are
+    # stop-gradiented: the boost re-weights the loss, it is not a term the
+    # encoder can game by shrinking distances.
+    bridge_weight: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

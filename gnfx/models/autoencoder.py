@@ -164,6 +164,19 @@ def reconstruction_loss(
         jnp.exp(-jnp.abs(logits))
     )
     weights = jnp.where(labels > 0.5, cfg.pos_weight, 1.0) * mask
+    if cfg.bridge_weight > 0.0:
+        # bridge-aware focus (AEConfig.bridge_weight): upweight each true
+        # edge by how much LONGER its embedding distance is than the
+        # graph's mean true-edge distance — the longest edges are the ones
+        # the sigmoid(C(1−d²)) decoder loses first, and in community-like
+        # graphs those are exactly the connectivity-critical bridges.
+        d2 = jax.lax.stop_gradient(pairwise_sq_dists(x))
+        pos = labels * mask
+        denom = jnp.maximum(jnp.sum(pos, axis=(1, 2), keepdims=True), 1.0)
+        mean_d2 = jnp.sum(d2 * pos, axis=(1, 2), keepdims=True) / denom
+        rel = d2 / jnp.maximum(mean_d2, 1e-6) - 1.0
+        boost = cfg.bridge_weight * jnp.maximum(rel, 0.0)
+        weights = weights * (1.0 + boost * pos)
     loss = jnp.sum(per_pair * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
     pred = (logits > 0.0).astype(jnp.float32)

@@ -23,6 +23,7 @@ import numpy as np
 from gnfx.config import load_config
 from gnfx.data import create_dataset, dataset_to_arrays
 from gnfx.eval.mmd import clustering_stats, degree_stats, orbit_stats
+from gnfx.eval.selection import frac_connected
 from gnfx.graph import arrays_to_networkx, batch_from_dense
 from gnfx.models import autoencoder as ae
 from gnfx.train.loop import train_autoencoder
@@ -32,16 +33,25 @@ def main(argv):
     # ae_from=<run>: measure an EXISTING run's AE instead of training one
     # (attribution: per-seed AE retraining makes pipeline seed variance
     # conflate stage-1 and stage-2 luck)
+    # quick=1: one feature draw, no orbit MMD, test split capped at 40
+    # graphs — for big-N (protein) config sweeps where host orbit counting
+    # dominates wall clock (round-10 lesson).
     ae_from = None
+    quick = False
     for a in list(argv):
         if a.startswith("ae_from="):
             ae_from = a.split("=", 1)[1]
+            argv = [x for x in argv if x is not a]
+        elif a.startswith("quick="):
+            quick = a.split("=", 1)[1] in ("1", "true")
             argv = [x for x in argv if x is not a]
     cfg = load_config(argv)
     train_g, test_g, max_n = create_dataset(
         cfg.data.dataset, seed=cfg.data.seed, num_graphs=cfg.data.num_graphs
     )
     adj_tr, n_tr = dataset_to_arrays(train_g, max_n)
+    if quick:
+        test_g = test_g[:40]
     adj_te, n_te = dataset_to_arrays(test_g, max_n)
 
     t0 = time.time()
@@ -64,7 +74,8 @@ def main(argv):
                                      cfg.ae.feature_dim)
     bce, _ = ae.reconstruction_loss(params, cfg.ae, feats0, gb)
     mmds = []
-    for s in range(3):  # average over encoder feature draws
+    draws = 1 if quick else 3
+    for s in range(draws):  # average over encoder feature draws
         feats = ae.random_node_features(jax.random.PRNGKey(s), gb,
                                         cfg.ae.feature_dim)
         emb = ae.encode(params, cfg.ae, feats, gb)
@@ -74,14 +85,18 @@ def main(argv):
         recon = arrays_to_networkx(a, np.asarray(n_te))
         mmds.append((degree_stats(test_g, recon),
                      clustering_stats(test_g, recon),
-                     orbit_stats(test_g, recon),
-                     float(np.mean([g.number_of_edges() for g in recon]))))
+                     0.0 if quick else orbit_stats(test_g, recon),
+                     float(np.mean([g.number_of_edges() for g in recon])),
+                     frac_connected(recon)))
     m = np.mean(np.array(mmds), axis=0)
     out = {"preset": cfg.name, "decoder": cfg.ae.decoder,
            "decoder_c": cfg.ae.decoder_c, "embed_dim": cfg.ae.embed_dim,
            "ae_steps": cfg.ae.train_steps,
+           "bridge_weight": cfg.ae.bridge_weight, "quick": quick,
            "deg": round(float(m[0]), 4), "clus": round(float(m[1]), 4),
            "orb": round(float(m[2]), 4), "mean_edges": round(float(m[3]), 1),
+           "frac_connected": round(float(m[4]), 4),
+           "true_frac_connected": round(frac_connected(test_g), 4),
            "true_mean_edges": round(
                float(np.mean([g.number_of_edges() for g in test_g])), 1),
            "heldout_bce": round(float(bce), 4),

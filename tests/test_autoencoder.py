@@ -261,3 +261,35 @@ def test_canonicalize_pca_rigid_invariance():
     ly = np.asarray(ae.decode_edge_logits(None, cfg, jnp.asarray(y)))
     pm = np.asarray(ae.edge_pair_mask(gb))
     np.testing.assert_allclose(lx * pm, ly * pm, atol=1e-4)
+
+
+def test_bridge_weight_focuses_long_edges():
+    """bridge_weight > 0: loss changes only through TRUE-edge weights that
+    grow with embedding distance; padding slots stay irrelevant; grads are
+    finite (the distance boost is stop-gradiented)."""
+    cfg0 = AEConfig(embed_dim=8, feature_dim=8, gnn_hidden=32, gnn_rounds=2)
+    cfgb = AEConfig(embed_dim=8, feature_dim=8, gnn_hidden=32, gnn_rounds=2,
+                    bridge_weight=2.0)
+    gb = _batch(jax.random.PRNGKey(11))
+    params = ae.init_autoencoder(jax.random.PRNGKey(12), cfg0)
+    feats = ae.random_node_features(jax.random.PRNGKey(13), gb,
+                                    cfg0.feature_dim)
+
+    l0, _ = ae.reconstruction_loss(params, cfg0, feats, gb)
+    lb, _ = ae.reconstruction_loss(params, cfgb, feats, gb)
+    assert np.isfinite(float(l0)) and np.isfinite(float(lb))
+    assert float(l0) != float(lb)  # the boost actually reweights
+
+    (lossb, _), grads = jax.value_and_grad(
+        lambda p: ae.reconstruction_loss(p, cfgb, feats, gb), has_aux=True
+    )(params)
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # padding invariance: garbage in padded feature slots must not change
+    # the bridge-weighted loss (mask kills both the pair weights and the
+    # distance boost on padded pairs)
+    noise = jax.random.normal(jax.random.PRNGKey(14), feats.shape)
+    feats_dirty = feats + noise * (1.0 - gb.node_mask[..., None])
+    lb2, _ = ae.reconstruction_loss(params, cfgb, feats_dirty, gb)
+    np.testing.assert_allclose(float(lb), float(lb2), rtol=1e-6)
