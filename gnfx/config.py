@@ -87,6 +87,11 @@ class TrainConfig:
     # >0: at every eval, sample this many graphs and log degree/clustering
     # MMD vs the held-out split (generation-quality trajectory, not just NLL)
     eval_samples: int = 0
+    # >0: profile this many training chunks (starting at the SECOND chunk,
+    # so compile noise stays out) into <run_dir>/trace with
+    # jax.profiler.trace — open in Perfetto / TensorBoard to see real
+    # device occupancy vs host gaps (the MFU question, round-2 verdict).
+    trace_chunks: int = 0
     # >0: maintain an exponential moving average of the flow params (decay
     # per optimizer step, updated inside the scan chunk). The EMA params are
     # checkpointed ALONGSIDE the raw params — (params, opt_state, ema) — so

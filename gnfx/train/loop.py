@@ -28,6 +28,7 @@ from gnfx.graph import GraphBatch, batch_from_dense
 from gnfx.models import autoencoder as ae
 from gnfx.models.flow import FlowConfig, init_flow, log_prob
 from gnfx.train.checkpoint import restore_checkpoint, save_checkpoint, latest_step
+from gnfx.utils.profiling import StepTimer, trace_context
 
 # Cooperative wind-down (tools/wind_down.sh): when this file appears, the
 # flow loop checkpoints and exits at the next chunk boundary, so a long
@@ -361,21 +362,31 @@ def train_flow(
             ema = replicate(ema, mesh)
 
     eval_key = jax.random.fold_in(key, 2**20)
-    for steps, gb in batches:
+    trace_dir = os.path.join(os.path.dirname(tcfg.checkpoint_dir), "trace")
+    timer = StepTimer()
+    for chunk_i, (steps, gb) in enumerate(batches):
         if mesh is not None:
             gb = shard_batch(gb, mesh, stacked=True)
-        if use_ema:
-            params, opt_state, ema, losses, auxes = multi_step(
-                params, opt_state, ema, gb, jnp.asarray(steps)
-            )
-        else:
-            params, opt_state, losses, auxes = multi_step(
-                params, opt_state, gb, jnp.asarray(steps)
-            )
-        # fetching the per-step metric arrays syncs once per chunk, which
-        # also bounds the async dispatch queue (see AE loop)
-        losses = np.asarray(losses)
-        auxes = {k: np.asarray(v) for k, v in auxes.items()}
+        # profile chunks [1, trace_chunks] (skip chunk 0: compile); the
+        # metric-array fetch below syncs inside the context so the trace
+        # holds the full device timeline of the chunk
+        do_trace = 1 <= chunk_i <= tcfg.trace_chunks
+        with trace_context(trace_dir, enabled=do_trace):
+            if use_ema:
+                params, opt_state, ema, losses, auxes = multi_step(
+                    params, opt_state, ema, gb, jnp.asarray(steps)
+                )
+            else:
+                params, opt_state, losses, auxes = multi_step(
+                    params, opt_state, gb, jnp.asarray(steps)
+                )
+            # fetching the per-step metric arrays syncs once per chunk, which
+            # also bounds the async dispatch queue (see AE loop)
+            losses = np.asarray(losses)
+            auxes = {k: np.asarray(v) for k, v in auxes.items()}
+        timer.tick(len(steps))
+        if do_trace and chunk_i == tcfg.trace_chunks:
+            print(f"[gnfx] profiler trace written to {trace_dir}", flush=True)
         chunk_end = int(steps[-1]) + 1
         last = chunk_end == tcfg.num_steps
         if metrics is not None:
@@ -384,6 +395,11 @@ def train_flow(
                     metrics.write(int(s), stage="flow", nll_per_dim=losses[j],
                                   **{k: v[j] for k, v in auxes.items()})
         hit_eval = any(s % tcfg.eval_every == 0 for s in steps) or last
+        if hit_eval and metrics is not None:
+            # sustained steps/s since the last eval window (StepTimer: the
+            # chunk fetch above already synced, so no extra device sync)
+            metrics.write(chunk_end - 1, stage="throughput",
+                          steps_per_s=timer.rate())
         eval_params = ema if use_ema else params
         if hit_eval and on_eval is not None:
             # host-side probe hook (e.g. sampled-graph quality MMDs)
