@@ -175,6 +175,27 @@ PRESETS: dict[str, ExperimentConfig] = {
         ae=AEConfig(embed_dim=14, feature_dim=14, train_steps=5000),
         train=TrainConfig(num_steps=5000, steps_per_call=4, eval_samples=16),
     ),
+    # The round-3 "protein for real" config (round-2 verdict missing #1):
+    # the 5k-step protein-v1 smoke used embed 14 / c=10 / canonicalize=none
+    # while every proven-quality dataset runs embed 20 / sharp decoder /
+    # pca. The AE stays narrow (hidden 64, the v1 size) because at N=512
+    # stage-1 cost is real; decoder_c is set from the measured quick-ceiling
+    # sweep (runs/protein_ae_sweep.json, tools/jobs/105).
+    "protein-pca": _preset(
+        "protein-pca",
+        data=DataConfig(dataset="protein", batch_size=8),
+        flow=FlowConfig(
+            node_dim=20, num_couplings=12, gnn_hidden=128, gnn_rounds=3,
+            message_mode="attention", use_actnorm=True,
+            compute_dtype="bfloat16",
+        ),
+        ae=AEConfig(embed_dim=20, feature_dim=20, decoder_c=50.0,
+                    canonicalize="pca", train_steps=15000),
+        train=TrainConfig(num_steps=60000, steps_per_call=4, lr=7e-4,
+                          log_every=500, checkpoint_every=4000,
+                          checkpoint_keep=100, eval_every=4000,
+                          eval_samples=16),
+    ),
     "smoke": _preset(
         "smoke",
         data=DataConfig(dataset="community-small", batch_size=8, num_graphs=40),
