@@ -60,6 +60,14 @@ class AEConfig:
     # stop-gradiented: the boost re-weights the loss, it is not a term the
     # encoder can game by shrinking distances.
     bridge_weight: float = 0.0
+    # How at-risk edges are identified (only used when bridge_weight > 0):
+    # "dist" — relative embedding distance (adaptive; also catches long
+    #          within-community edges, which measured as ceiling-harmful);
+    # "tri"  — true edges that are in NO triangle (common-neighbor count
+    #          from one A@A matmul). In community-like graphs these are
+    #          exactly the inter-community bridges; static, graph-exact,
+    #          and available from step 0.
+    bridge_mode: str = "dist"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,7 +164,7 @@ def reconstruction_loss(
         jnp.exp(-jnp.abs(logits))
     )
     weights = jnp.where(labels > 0.5, cfg.pos_weight, 1.0) * mask
-    if cfg.bridge_weight > 0.0:
+    if cfg.bridge_weight > 0.0 and cfg.bridge_mode == "dist":
         # bridge-aware focus (AEConfig.bridge_weight): upweight each true
         # edge by how much LONGER its embedding distance is than the
         # graph's mean true-edge distance — the longest edges are the ones
@@ -177,6 +177,16 @@ def reconstruction_loss(
         rel = d2 / jnp.maximum(mean_d2, 1e-6) - 1.0
         boost = cfg.bridge_weight * jnp.maximum(rel, 0.0)
         weights = weights * (1.0 + boost * pos)
+    elif cfg.bridge_weight > 0.0 and cfg.bridge_mode == "tri":
+        # exact structural variant: true edges whose endpoints share no
+        # common neighbour (one MXU matmul) — the decoder's transitive
+        # metric represents triangle-dense neighbourhoods for free, while
+        # triangle-FREE edges (inter-community bridges) are the ones it
+        # drops; boost only those, statically, from step 0.
+        common = jnp.einsum("buk,bkv->buv", labels, labels,
+                            preferred_element_type=jnp.float32)
+        bridge = labels * (common < 0.5) * mask
+        weights = weights * (1.0 + cfg.bridge_weight * bridge)
     loss = jnp.sum(per_pair * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
     pred = (logits > 0.0).astype(jnp.float32)

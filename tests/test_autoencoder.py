@@ -293,3 +293,33 @@ def test_bridge_weight_focuses_long_edges():
     feats_dirty = feats + noise * (1.0 - gb.node_mask[..., None])
     lb2, _ = ae.reconstruction_loss(params, cfgb, feats_dirty, gb)
     np.testing.assert_allclose(float(lb), float(lb2), rtol=1e-6)
+
+
+def test_bridge_mode_tri_targets_triangle_free_edges():
+    """bridge_mode="tri": a barbell graph's middle edge (no common
+    neighbour) is the only boosted pair — losing it must cost more than
+    losing a triangle edge, all else equal."""
+    import networkx as nx
+    from gnfx.graph import networkx_to_arrays
+
+    g = nx.barbell_graph(4, 0)   # two K4s joined by one bridge edge
+    adj, n = networkx_to_arrays([g], 8)
+    gb = batch_from_dense(adj, n)
+    cfg = AEConfig(embed_dim=4, feature_dim=4, gnn_hidden=16, gnn_rounds=1,
+                   bridge_weight=8.0, bridge_mode="tri")
+    cfg0 = AEConfig(embed_dim=4, feature_dim=4, gnn_hidden=16, gnn_rounds=1)
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    feats = ae.random_node_features(jax.random.PRNGKey(1), gb,
+                                    cfg.feature_dim)
+    l_tri, _ = ae.reconstruction_loss(params, cfg, feats, gb)
+    l_plain, _ = ae.reconstruction_loss(params, cfg0, feats, gb)
+    assert np.isfinite(float(l_tri))
+    assert float(l_tri) != float(l_plain)
+
+    # the boost matrix itself: only the bridge pair is triangle-free
+    labels = np.asarray(gb.adj)[0]
+    common = labels @ labels
+    bridge = (labels > 0.5) & (common < 0.5)
+    iu, iv = np.nonzero(np.triu(bridge, 1))
+    assert len(iu) == 1  # exactly the barbell bridge
+    assert {int(g.degree(int(iu[0]))), int(g.degree(int(iv[0])))} == {4}
