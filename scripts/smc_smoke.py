@@ -67,8 +67,11 @@ def main(argv):
                      "iwae_logp": round(iw, 2), "smc_logp": round(sm, 2),
                      "gap": round(sm - iw, 2)})
         print("[smc]", json.dumps(rows[-1]), flush=True)
+    from gnfx.parallel.smc import ESTIMATOR_OF_RECORD
+
     out = {"run": cfg.name, "step": step, "particles": particles,
-           "stages": stages, "rows": rows,
+           "stages": stages, "estimator_of_record": ESTIMATOR_OF_RECORD,
+           "role": "cross-check only — never the quoted NLL", "rows": rows,
            "mean_iwae": round(float(np.mean([r["iwae_logp"] for r in rows])), 2),
            "mean_smc": round(float(np.mean([r["smc_logp"] for r in rows])), 2),
            "wall_s": round(time.time() - t0, 1)}
