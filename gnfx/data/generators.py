@@ -113,13 +113,42 @@ MAX_NODES = {
 }
 
 
+def _load_real_graphs(name: str, data_dir: str = "data"):
+    """Drop-in hook for the REAL datasets (docs/DATA.md): if
+    `<data_dir>/<name>.graphs.npz` exists — `adj` f32[B, N, N] padded
+    symmetric adjacencies + `n_node` i32[B] — it replaces the offline
+    substitute generator entirely. Returns (graphs, max_nodes) or None."""
+    import os
+
+    path = os.path.join(data_dir, f"{name}.graphs.npz")
+    if not os.path.exists(path):
+        return None
+    from gnfx.graph import arrays_to_networkx
+
+    with np.load(path) as d:
+        adj = d["adj"].astype(np.float32)
+        n_node = d["n_node"].astype(np.int32)
+    return arrays_to_networkx(adj, n_node), int(adj.shape[1])
+
+
 def create_dataset(name: str, seed: int = 1234, num_graphs: int | None = None):
-    """Returns (train_graphs, test_graphs, max_nodes) with the 80/20 split."""
+    """Returns (train_graphs, test_graphs, max_nodes) with the 80/20 split.
+
+    Real data (when present under data/ — see `_load_real_graphs`) wins over
+    the offline substitute generators; `seed` then only matters for parity
+    with generator-based configs, not for the data itself."""
     if name not in DATASETS:
         raise KeyError(f"unknown dataset {name!r}; have {sorted(DATASETS)}")
-    kwargs = {"seed": seed}
-    if num_graphs is not None:
-        kwargs["num_graphs"] = num_graphs
-    graphs = DATASETS[name](**kwargs)
+    real = _load_real_graphs(name)
+    if real is not None:
+        graphs, max_nodes = real
+        if num_graphs is not None:
+            graphs = graphs[:num_graphs]
+    else:
+        kwargs = {"seed": seed}
+        if num_graphs is not None:
+            kwargs["num_graphs"] = num_graphs
+        graphs = DATASETS[name](**kwargs)
+        max_nodes = MAX_NODES[name]
     n_train = int(0.8 * len(graphs))
-    return graphs[:n_train], graphs[n_train:], MAX_NODES[name]
+    return graphs[:n_train], graphs[n_train:], max_nodes

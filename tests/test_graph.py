@@ -64,3 +64,28 @@ def test_make_node_mask():
 def test_pad_buckets():
     assert pad_node_count(13, [8, 16, 32]) == 16
     assert pad_node_count(16, [8, 16, 32]) == 16
+
+
+def test_create_dataset_real_file_hook(tmp_path, monkeypatch):
+    """docs/DATA.md: data/<name>.graphs.npz replaces the substitute
+    generator (same return contract, max_nodes from the array)."""
+    import networkx as nx
+    import numpy as np
+
+    from gnfx.data import create_dataset
+    from gnfx.graph import networkx_to_arrays
+
+    graphs = [nx.path_graph(k) for k in (3, 4, 5, 6, 7)]
+    adj, n_node = networkx_to_arrays(graphs, 9)
+    d = tmp_path / "data"
+    d.mkdir()
+    np.savez(d / "grid.graphs.npz", adj=adj, n_node=n_node)
+    monkeypatch.chdir(tmp_path)
+
+    train, test, max_n = create_dataset("grid", seed=0)
+    assert max_n == 9
+    assert len(train) == 4 and len(test) == 1
+    # order preserved: the 80/20 split is in array order
+    assert [g.number_of_nodes() for g in train] == [3, 4, 5, 6]
+    assert test[0].number_of_nodes() == 7
+    assert nx.is_isomorphic(test[0], nx.path_graph(7))
