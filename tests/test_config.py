@@ -36,7 +36,11 @@ def test_pca_preset_matches_committed_flagship(run):
     path = os.path.join(REPO, "runs", run, "config.json")
     if not os.path.exists(path):
         pytest.skip(f"no committed artifact for {run}")
-    want = json.load(open(path))
+    # roundtrip through from_dict: config fields added AFTER the run was
+    # trained (e.g. trace_chunks) get their defaults filled, so the
+    # comparison tests recipe identity, not schema age
+    from gnfx.config import from_dict
+    want = to_dict(from_dict(json.load(open(path))))
     got = to_dict(load_config([run]))
     want["train"].pop("checkpoint_dir", None)
     got["train"].pop("checkpoint_dir", None)
