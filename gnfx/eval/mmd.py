@@ -127,17 +127,16 @@ def orbit_stats(
 ) -> float:
     """MMD over mean 4-node-orbit-count vectors (Gaussian RBF, σ=30).
     Orbit counting runs through the native counter (gnfx.eval.orbit)."""
-    from gnfx.eval.orbit import orbit_counts
+    from gnfx.eval.orbit import orbit_counts_many
 
     if not graphs_ref or not graphs_gen:
         return float("nan")
 
     def mean_orbits(graphs):
-        out = []
-        for g in graphs:
-            counts = orbit_counts(g)  # [n_nodes, 15]
-            out.append(counts.mean(axis=0) if len(counts) else np.zeros(15))
-        return out
+        # threaded across host cores — counting is the wall-clock bound of
+        # every big-N selection sweep (see orbit_counts_many)
+        return [counts.mean(axis=0) if len(counts) else np.zeros(15)
+                for counts in orbit_counts_many(graphs)]
 
     return compute_mmd(mean_orbits(graphs_ref), mean_orbits(graphs_gen),
                        gaussian_rbf_kernel(sigma=sigma))

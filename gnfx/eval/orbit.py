@@ -77,6 +77,28 @@ def orbit_counts(g: nx.Graph) -> np.ndarray:
     return out
 
 
+def orbit_counts_many(graphs, max_workers: int | None = None) -> list:
+    """`orbit_counts` over a list of graphs, parallel across host cores.
+
+    ctypes releases the GIL for the duration of the native call and
+    `orbit_counts_4` keeps all state on its own stack, so a THREAD pool
+    gives true parallelism with zero pickling. Host orbit counting is the
+    measured wall-clock bound of every big-N selection sweep (round-10:
+    minutes per dense probe at N≈500 — it dwarfed device sampling), so this
+    is the difference between a feasible and an infeasible protein
+    stepsweep. Order-preserving; falls back to serial when the native
+    library is unavailable (the brute-force path holds the GIL anyway)."""
+    graphs = list(graphs)
+    if _load_library() is None or len(graphs) < 2:
+        return [orbit_counts(g) for g in graphs]
+    import concurrent.futures
+
+    if max_workers is None:
+        max_workers = min(4, os.cpu_count() or 1, len(graphs))
+    with concurrent.futures.ThreadPoolExecutor(max_workers) as ex:
+        return list(ex.map(orbit_counts, graphs))
+
+
 def using_native() -> bool:
     return _load_library() is not None
 

@@ -87,3 +87,29 @@ def test_orbit_mmd_runs():
     diff = orbit_stats(a, b)
     assert same == pytest.approx(0.0, abs=1e-9)
     assert diff > same
+
+
+def test_orbit_counts_many_matches_serial_and_speeds_dense():
+    import time
+
+    import networkx as nx
+
+    from gnfx.eval.orbit import orbit_counts, orbit_counts_many, using_native
+
+    rng = np.random.default_rng(3)
+    graphs = [nx.gnp_random_graph(60, 0.25, seed=int(rng.integers(1 << 30)))
+              for _ in range(8)]
+    serial = [orbit_counts(g) for g in graphs]
+    par = orbit_counts_many(graphs)
+    for a, b in zip(serial, par):
+        np.testing.assert_array_equal(a, b)
+    if using_native():
+        dense = [nx.gnp_random_graph(150, 0.3, seed=s) for s in range(8)]
+        t0 = time.perf_counter()
+        [orbit_counts(g) for g in dense]
+        t_serial = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        orbit_counts_many(dense)
+        t_par = time.perf_counter() - t0
+        # conservative bound: any real parallelism beats 0.9x
+        assert t_par < 0.9 * t_serial, (t_serial, t_par)
