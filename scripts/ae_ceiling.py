@@ -36,14 +36,22 @@ def main(argv):
     # quick=1: one feature draw, no orbit MMD, test split capped at 40
     # graphs — for big-N (protein) config sweeps where host orbit counting
     # dominates wall clock (round-10 lesson).
+    # thresholds=0.5,0.7: decode-threshold sweep — the pipeline selects the
+    # threshold on the train split, so the ceiling at the BEST threshold is
+    # the operative bound, not the 0.5 default (a bridge-weighted AE may
+    # trade its extra edge mass away at a higher threshold).
     ae_from = None
     quick = False
+    thresholds = (0.5,)
     for a in list(argv):
         if a.startswith("ae_from="):
             ae_from = a.split("=", 1)[1]
             argv = [x for x in argv if x is not a]
         elif a.startswith("quick="):
             quick = a.split("=", 1)[1] in ("1", "true")
+            argv = [x for x in argv if x is not a]
+        elif a.startswith("thresholds="):
+            thresholds = tuple(float(t) for t in a.split("=", 1)[1].split(","))
             argv = [x for x in argv if x is not a]
     cfg = load_config(argv)
     train_g, test_g, max_n = create_dataset(
@@ -73,26 +81,36 @@ def main(argv):
     feats0 = ae.random_node_features(jax.random.PRNGKey(99), gb,
                                      cfg.ae.feature_dim)
     bce, _ = ae.reconstruction_loss(params, cfg.ae, feats0, gb)
-    mmds = []
     draws = 1 if quick else 3
-    for s in range(draws):  # average over encoder feature draws
-        feats = ae.random_node_features(jax.random.PRNGKey(s), gb,
-                                        cfg.ae.feature_dim)
-        emb = ae.encode(params, cfg.ae, feats, gb)
-        probs = np.asarray(ae.decode_edges(params, cfg.ae, emb))
-        a = (np.triu(probs > 0.5, 1)).astype(np.float32)
-        a = a + a.transpose(0, 2, 1)
-        recon = arrays_to_networkx(a, np.asarray(n_te))
-        mmds.append((degree_stats(test_g, recon),
-                     clustering_stats(test_g, recon),
-                     0.0 if quick else orbit_stats(test_g, recon),
-                     float(np.mean([g.number_of_edges() for g in recon])),
-                     frac_connected(recon)))
-    m = np.mean(np.array(mmds), axis=0)
+    per_thr = {}
+    for thr in thresholds:
+        mmds = []
+        for s in range(draws):  # average over encoder feature draws
+            feats = ae.random_node_features(jax.random.PRNGKey(s), gb,
+                                            cfg.ae.feature_dim)
+            emb = ae.encode(params, cfg.ae, feats, gb)
+            probs = np.asarray(ae.decode_edges(params, cfg.ae, emb))
+            a = (np.triu(probs > thr, 1)).astype(np.float32)
+            a = a + a.transpose(0, 2, 1)
+            recon = arrays_to_networkx(a, np.asarray(n_te))
+            mmds.append((degree_stats(test_g, recon),
+                         clustering_stats(test_g, recon),
+                         0.0 if quick else orbit_stats(test_g, recon),
+                         float(np.mean([g.number_of_edges() for g in recon])),
+                         frac_connected(recon)))
+        per_thr[thr] = np.mean(np.array(mmds), axis=0)
+    # headline row: the threshold with the lowest deg+clus+orb sum (the
+    # pipeline's train-split selection would pick it)
+    best_thr = min(per_thr, key=lambda t: float(np.sum(per_thr[t][:3])))
+    m = per_thr[best_thr]
     out = {"preset": cfg.name, "decoder": cfg.ae.decoder,
            "decoder_c": cfg.ae.decoder_c, "embed_dim": cfg.ae.embed_dim,
            "ae_steps": cfg.ae.train_steps,
            "bridge_weight": cfg.ae.bridge_weight, "quick": quick,
+           "threshold": best_thr,
+           "per_threshold": {str(t): [round(float(x), 4) for x in v]
+                             for t, v in per_thr.items()} if len(per_thr) > 1
+                            else None,
            "deg": round(float(m[0]), 4), "clus": round(float(m[1]), 4),
            "orb": round(float(m[2]), 4), "mean_edges": round(float(m[3]), 1),
            "frac_connected": round(float(m[4]), 4),
