@@ -23,7 +23,14 @@ implied ~344 TFLOP/s on a ~197-peak chip):
   * the JSON line carries `tflops_per_s` and `mfu` against the v5e bf16
     peak, plus a `physics_ok` flag that is false whenever the implied
     FLOP/s exceeds the chip peak — a headline that fails this check is an
-    artifact, not a result.
+    artifact, not a result;
+  * every sync point FETCHES a scalar to the host (`float(loss)`) instead
+    of `block_until_ready`: measured on the axon PJRT relay,
+    block_until_ready returns early (57k chunked steps/s -> implied 296
+    TFLOP/s on a 197-peak chip even with distinct batches — the while loop
+    was enqueueing chunks, not timing them), while a host value fetch is a
+    true round-trip. This also matches production semantics: the training
+    loop fetches per-step metric arrays once per chunk.
 """
 
 import functools
@@ -128,7 +135,7 @@ def main():
 
     # warmup / compile
     params, opt_state, loss = train_step(params, opt_state, x, gb)
-    loss.block_until_ready()
+    float(loss)
 
     # per-dispatch: sustained window, distinct batch per step
     dispatch_batches = [make_batch(rng, bsz, max_n, cfg.node_dim)
@@ -140,8 +147,8 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, xi, gi)
         n_iters += 1
         if n_iters % 200 == 0:
-            loss.block_until_ready()
-    loss.block_until_ready()
+            float(loss)   # true host sync (see module docstring)
+    float(loss)
     dispatch_steps_per_s = n_iters / (time.perf_counter() - t0)
 
     # chunked dispatch (the production loop, gnfx.train.loop): K full
@@ -171,19 +178,19 @@ def main():
         return params, opt_state, losses[-1]
 
     params, opt_state, loss = train_chunk(params, opt_state, *stacks[0])
-    loss.block_until_ready()
+    float(loss)
     t0 = time.perf_counter()
     n_chunks = 0
     while time.perf_counter() - t0 < MIN_WINDOW_S:
         x_k, gb_k = stacks[n_chunks % len(stacks)]
         params, opt_state, loss = train_chunk(params, opt_state, x_k, gb_k)
         n_chunks += 1
-        loss.block_until_ready()   # chunk granularity: one sync per K steps
+        float(loss)   # one true sync per K steps (production semantics)
     steps_per_s = n_chunks * K / (time.perf_counter() - t0)
 
     # secondary: pure fwd+logdet throughput (distinct batches, sustained)
     lp_fn = jax.jit(lambda p, x, g: log_prob(p, cfg, x, g))
-    lp_fn(params, x, gb).block_until_ready()
+    float(lp_fn(params, x, gb)[0])
     t0 = time.perf_counter()
     n_fwd = 0
     while time.perf_counter() - t0 < MIN_WINDOW_S / 2:
@@ -191,8 +198,8 @@ def main():
         out = lp_fn(params, xi, gi)
         n_fwd += 1
         if n_fwd % 200 == 0:
-            out.block_until_ready()
-    out.block_until_ready()
+            float(out[0])
+    float(out[0])
     fwd_per_s = n_fwd / (time.perf_counter() - t0)
 
     tflops_per_s = steps_per_s * flops_per_step / 1e12
