@@ -23,8 +23,13 @@ import sys
 
 def main(argv):
     runs = [a for a in argv if "=" not in a]
+    out_path = os.path.join("runs", "seed_select.json")
+    for a in argv:
+        if a.startswith("out="):
+            out_path = a.split("=", 1)[1]
     if not runs:
-        raise SystemExit("usage: seed_select.py <run-name> [<run-name> ...]")
+        raise SystemExit(
+            "usage: seed_select.py <run-name> [<run-name> ...] [out=path]")
     rows = []
     for run in runs:
         path = os.path.join("runs", run, "stepsweep.json")
@@ -78,7 +83,7 @@ def main(argv):
                                  for k, v in sorted(per_run_best.items())},
         "train_score_spread": (scores[-1] - scores[0]) if len(scores) > 1 else 0.0,
     }
-    out = os.path.join("runs", "seed_select.json")
+    out = out_path
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"[seed_select] SELECTED {json.dumps(best)}", flush=True)

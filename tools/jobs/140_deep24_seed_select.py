@@ -1,0 +1,31 @@
+"""Deep24 multi-seed headline selection + MC error bars (the 070 recipe,
+deep24 family). Only runs once all three deep24 stepsweeps exist."""
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+runs = [r for r in ("community-small-pca-deep24",
+                    "community-small-pca-deep24-s1",
+                    "community-small-pca-deep24-s2")
+        if os.path.exists(os.path.join("runs", r, "stepsweep.json"))]
+assert len(runs) == 3, f"need all three deep24 sweeps, have {runs}"
+from scripts.seed_select import main as seed_select
+
+seed_select(runs + ["out=runs/seed_select_deep24.json"])
+with open("runs/seed_select_deep24.json") as f:
+    pick = json.load(f)["selected"]
+from scripts.eval_ci import main as eval_ci
+
+eval_ci([
+    pick["run"],
+    "seeds=5",
+    "num_samples=256",
+    f"step={pick['step']}",
+    f"variant={pick.get('variant', 'raw')}",
+    f"temperature={pick['temp']}",
+    f"threshold={pick['threshold']}",
+    f"connect_isolated={int(pick.get('connect_isolated', False))}",
+    f"edge_sample={int(pick.get('edge_sample', False))}",
+    f"connect_components={int(pick.get('connect_components', False))}",
+])
