@@ -47,9 +47,13 @@ from gnfx.models.flow import (
     FlowConfig, base_log_prob, coupling_forward, init_flow, log_prob,
 )
 
-# Round-1 first measurement on 1× TPU v5e (this build, full train step,
-# B=32 N=20 D=14 T=10 H=64 R=3). Fixed denominator for vs_baseline.
-BASELINE_STEPS_PER_S = 2090.0
+# vs_baseline denominator — RE-ANCHORED round 3. The round-1 number (2090)
+# was measured with block_until_ready, which the axon relay acknowledges
+# early (see module docstring): it was an enqueue rate, like every bench
+# number before round 3. First HONEST measurement (fetch-synced, distinct
+# batches, sustained window, physics_ok=true): 716.68 chunked steps/s at
+# K=50, 2026-08-19, runs/bench_mfu.json.
+BASELINE_STEPS_PER_S = 716.68
 
 # TPU v5e (1 chip): 197 TFLOP/s bf16 / ~98 f32. The bench computes in f32,
 # so quoting MFU against the bf16 peak is the conservative choice (true
