@@ -5,4 +5,4 @@ import sys
 sys.path.insert(0, "/root/repo")
 from scripts.stepsweep import main
 
-main(["protein-pca", "every=2"])
+main(["protein-pca", "every=4"])
