@@ -36,7 +36,7 @@ from gnfx.train.loop import make_optimizer
 TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 # (threshold, edge_sample): hard thresholds + Bernoulli edge sampling (the
 # model-consistent decode; see gnfx.models.autoencoder.decode_to_adjacency)
-DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.5, True))
+DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.8, False), (0.5, True))
 # (connect_isolated, connect_components): no repair / isolated-node fixup /
 # component merge (subsumes isolation — a connected graph has no isolates).
 # Selected on the train split via the connectivity-aware selection score.

@@ -170,7 +170,7 @@ def main(argv):
     # decode candidates: thresholds (reference rule, density calibration) +
     # Bernoulli edge sampling (model-consistent decode); repairs: none /
     # isolated-node fixup / component merge
-    decodes = [(0.3, False), (0.5, False), (0.7, False), (0.5, True)]
+    decodes = [(0.3, False), (0.5, False), (0.7, False), (0.8, False), (0.5, True)]
     repairs = [(False, False), (True, False), (False, True)]
     temps = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
     n_probe = 64
