@@ -116,6 +116,37 @@ def connect_components_np(adj: np.ndarray, probs: np.ndarray,
         a[u, v] = a[v, u] = 1.0
 
 
+def break_triangles_np(adj: np.ndarray, probs: np.ndarray,
+                       n: int) -> np.ndarray:
+    """Decode-side triangle repair: while the n-node graph contains a
+    triangle, delete the LOWEST-probability edge that participates in one.
+
+    The mirror image of `connect_components_np`, conditioning the decode on
+    a different support property: every real grid/lattice graph is
+    triangle-free, while the distance decoder happily closes lattice
+    diagonals (measured: 5 triangles/graph in AE roundtrips of REAL grids,
+    runs/grid-pca/triangle_probe.json — and no in-family AE lever moved
+    that ceiling, runs/grid_ae_screen_cpu.json). Selected on the train
+    split like every other decode option: on triangle-rich data (community)
+    it destroys the statistics and the selection score rejects it; on
+    triangle-free data it removes exactly the decoder's systematic error.
+    Host-side numpy; each deletion strictly reduces triangle count, so it
+    terminates in ≤ |E| steps."""
+    out = adj.copy()
+    if n < 3:
+        return out
+    a = out[:n, :n]
+    p = probs[:n, :n]
+    while True:
+        common = (a @ a) * a          # for each edge: # common neighbours
+        tri_u, tri_v = np.nonzero(np.triu(common, 1))
+        if len(tri_u) == 0:
+            return out
+        worst = np.argmin(p[tri_u, tri_v])
+        u, v = tri_u[worst], tri_v[worst]
+        a[u, v] = a[v, u] = 0.0
+
+
 def sample_graphs(
     flow_params: dict,
     ae_params: dict | None,
@@ -133,6 +164,7 @@ def sample_graphs(
     connect_isolated: bool = False,
     edge_sample: bool = False,
     connect_components: bool = False,
+    break_triangles: bool = False,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -148,14 +180,26 @@ def sample_graphs(
         adj, probs = sample_batch_device(
             flow_params, ae_params, fcfg, acfg, jax.random.fold_in(key, start),
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
-            connect_isolated, edge_sample, want_probs=connect_components,
+            connect_isolated, edge_sample,
+            want_probs=connect_components or break_triangles,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
-        if connect_components:
+        if connect_components or break_triangles:
             probs_np = np.asarray(jax.device_get(probs))[: len(chunk)]
-            adj_np = np.stack([
-                connect_components_np(adj_np[i], probs_np[i], int(chunk[i]))
-                for i in range(len(chunk))
-            ])
+            reps = []
+            for i in range(len(chunk)):
+                a = adj_np[i]
+                if break_triangles:
+                    # break first: deletions can disconnect, but the
+                    # connectivity repair below only adds CROSS-component
+                    # edges, and a cross-component edge can never close a
+                    # triangle (a common neighbour of both endpoints would
+                    # already connect the components) — so break-then-connect
+                    # leaves the graph both triangle-free and connected.
+                    a = break_triangles_np(a, probs_np[i], int(chunk[i]))
+                if connect_components:
+                    a = connect_components_np(a, probs_np[i], int(chunk[i]))
+                reps.append(a)
+            adj_np = np.stack(reps)
         out.extend(arrays_to_networkx(adj_np, chunk))
     return out

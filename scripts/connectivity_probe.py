@@ -92,7 +92,8 @@ def main(argv):
     # 2. flow-side: samples at the run's selected config, NO repair, for
     #    both decode families at the selected temperature/threshold.
     base = {k: v for k, v in sampling.items()
-            if k not in ("connect_isolated", "connect_components")}
+            if k not in ("connect_isolated", "connect_components",
+                         "break_triangles")}
     for name, es in (("threshold", False), ("edge_sample", True)):
         kw = dict(base, edge_sample=es)
         gen = sample_graphs(params["flow"], params["ae"], cfg.flow, cfg.ae,

@@ -79,11 +79,14 @@ def load_run(argv):
         connect_isolated = bool(res.get("sample_connect_isolated", False))
     edge_sample = bool(res.get("sample_edge_sample", False))
     connect_components = bool(res.get("sample_connect_components", False))
+    break_triangles = bool(res.get("sample_break_triangles", False))
     for a in argv:
         if a.startswith("edge_sample="):
             edge_sample = a.split("=")[1].lower() in ("1", "true", "yes")
         elif a.startswith("connect_components="):
             connect_components = a.split("=")[1].lower() in ("1", "true", "yes")
+        elif a.startswith("break_triangles="):
+            break_triangles = a.split("=")[1].lower() in ("1", "true", "yes")
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -125,7 +128,8 @@ def load_run(argv):
     sampling = {"temperature": temperature, "threshold": threshold,
                 "connect_isolated": connect_isolated,
                 "edge_sample": edge_sample,
-                "connect_components": connect_components}
+                "connect_components": connect_components,
+                "break_triangles": break_triangles}
     return cfg, params, step, sampling, num_samples, seed, run_dir
 
 

@@ -37,10 +37,14 @@ TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 # (threshold, edge_sample): hard thresholds + Bernoulli edge sampling (the
 # model-consistent decode; see gnfx.models.autoencoder.decode_to_adjacency)
 DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.8, False), (0.5, True))
-# (connect_isolated, connect_components): no repair / isolated-node fixup /
-# component merge (subsumes isolation — a connected graph has no isolates).
+# (connect_isolated, connect_components, break_triangles): no repair /
+# isolated-node fixup / component merge (subsumes isolation — a connected
+# graph has no isolates). break_triangles rows are appended at runtime only
+# when the TRAIN data is triangle-free (decode-support conditioning, same
+# licence as connect_components on all-connected data — gnfx/sample.py).
 # Selected on the train split via the connectivity-aware selection score.
-REPAIRS = ((False, False), (True, False), (False, True))
+REPAIRS = ((False, False, False), (True, False, False), (False, True, False))
+TRIANGLE_FREE_REPAIRS = ((False, False, True), (False, True, True))
 
 
 def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
@@ -94,6 +98,10 @@ def main(argv):
     use_ema = cfg.train.ema_decay > 0.0
 
     temps, decodes, n_probe = TEMPS, DECODES, 64
+    repairs = REPAIRS
+    import networkx as nx
+    if all(sum(nx.triangles(g).values()) == 0 for g in train_g):
+        repairs = REPAIRS + TRIANGLE_FREE_REPAIRS
     if max_n >= 128:
         # big-N screening reduction (same rationale as train_gnf.py: the
         # grid is host-orbit-bound at N≈500, minutes per dense probe)
@@ -125,22 +133,25 @@ def main(argv):
                     for v in names}
         best = None
         for vname, flow_p in variants.items():
-            pick = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False)
+            pick = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False,
+                        bt=False)
             best_score, best_parts = float("inf"), {}
             for T in temps:
                 for thr, es in decodes:
-                    for ci, cc in REPAIRS:
+                    for ci, cc, bt in repairs:
                         probe = sample_graphs(
                             flow_p, ae_p, cfg.flow, cfg.ae, n_probe,
                             size_dist, max_n, seed=901,
                             batch_size=cfg.data.batch_size,
                             temperature=T, threshold=thr, connect_isolated=ci,
                             edge_sample=es, connect_components=cc,
+                            break_triangles=bt,
                         )
                         parts = selection_score(
                             train_g, probe, ref_frac_connected=conn_tr)
                         if parts["score"] < best_score:
-                            pick = dict(temp=T, thr=thr, ci=ci, es=es, cc=cc)
+                            pick = dict(temp=T, thr=thr, ci=ci, es=es, cc=cc,
+                                        bt=bt)
                             best_score, best_parts = parts["score"], parts
             final = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, n_final,
                                   size_dist, max_n, seed=77,
@@ -149,12 +160,14 @@ def main(argv):
                                   threshold=pick["thr"],
                                   connect_isolated=pick["ci"],
                                   edge_sample=pick["es"],
-                                  connect_components=pick["cc"])
+                                  connect_components=pick["cc"],
+                                  break_triangles=pick["bt"])
             res = evaluate_generated(test_g, final)
             rec = {"step": s, "variant": vname, "temp": pick["temp"],
                    "threshold": pick["thr"], "connect_isolated": pick["ci"],
                    "edge_sample": pick["es"],
                    "connect_components": pick["cc"],
+                   "break_triangles": pick["bt"],
                    "train_score": round(best_score, 4),
                    "train_mmd_sum": round(best_parts["mmd_sum"], 4),
                    "train_conn_penalty": round(
@@ -190,6 +203,7 @@ def main(argv):
                 connect_isolated=rec.get("connect_isolated", False),
                 edge_sample=rec.get("edge_sample", False),
                 connect_components=rec.get("connect_components", False),
+                break_triangles=rec.get("break_triangles", False),
             )
             scores.append(selection_score(
                 train_g, probe, ref_frac_connected=conn_tr)["score"])

@@ -171,7 +171,15 @@ def main(argv):
     # Bernoulli edge sampling (model-consistent decode); repairs: none /
     # isolated-node fixup / component merge
     decodes = [(0.3, False), (0.5, False), (0.7, False), (0.8, False), (0.5, True)]
-    repairs = [(False, False), (True, False), (False, True)]
+    # repairs: (connect_isolated, connect_components, break_triangles).
+    # break_triangles is only OFFERED when the train data is triangle-free
+    # (grids): decode-support conditioning, same licence as
+    # connect_components on all-connected data (gnfx/sample.py).
+    repairs = [(False, False, False), (True, False, False),
+               (False, True, False)]
+    import networkx as nx
+    if all(sum(nx.triangles(g).values()) == 0 for g in train_graphs):
+        repairs += [(False, False, True), (False, True, True)]
     temps = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
     n_probe = 64
     if max_nodes >= 128:
@@ -182,33 +190,35 @@ def main(argv):
         temps = (1.0, 0.8, 0.6)
         decodes = [(0.5, False), (0.3, False), (0.5, True)]
         n_probe = 32
-    best = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False)
+    best = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False, bt=False)
     best_score = float("inf")
     for temp in temps:
         for thr, es in decodes:
-            for ci, cc in repairs:
+            for ci, cc, bt in repairs:
                 probe = sample_graphs(
                     flow_params, ae_params, cfg.flow, cfg.ae, n_probe,
                     size_dist, max_nodes, seed=cfg.train.seed + 100,
                     batch_size=cfg.data.batch_size,
                     temperature=temp, threshold=thr, connect_isolated=ci,
                     edge_sample=es, connect_components=cc,
+                    break_triangles=bt,
                 )
                 parts = selection_score(train_graphs, probe,
                                         ref_frac_connected=conn_tr)
                 score = parts["score"]
                 print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)} es {int(es)}"
-                      f" cc {int(cc)}: train-split score {score:.3f} "
-                      f"(mmd {parts['mmd_sum']:.3f} "
+                      f" cc {int(cc)} bt {int(bt)}: train-split score "
+                      f"{score:.3f} (mmd {parts['mmd_sum']:.3f} "
                       f"conn {parts['gen_frac_connected']:.2f})", flush=True)
                 if score < best_score:
-                    best = dict(temp=temp, thr=thr, ci=ci, es=es, cc=cc)
+                    best = dict(temp=temp, thr=thr, ci=ci, es=es, cc=cc, bt=bt)
                     best_score = score
 
     num_samples = max(len(test_graphs) * 4, 64)
     sample_kw = dict(temperature=best["temp"], threshold=best["thr"],
                      connect_isolated=best["ci"], edge_sample=best["es"],
-                     connect_components=best["cc"])
+                     connect_components=best["cc"],
+                     break_triangles=best["bt"])
     # warm-up at the selected config (one batch) so graphs_per_s reports
     # sustained throughput, not compile/dispatch-cold latency
     sample_graphs(flow_params, ae_params, cfg.flow, cfg.ae,
@@ -230,6 +240,7 @@ def main(argv):
     results["sample_connect_isolated"] = best["ci"]
     results["sample_edge_sample"] = best["es"]
     results["sample_connect_components"] = best["cc"]
+    results["sample_break_triangles"] = best["bt"]
     results["train_selection_score"] = round(best_score, 4)
 
     # importance-weighted held-out NLL of full graphs (particle-sharded

@@ -93,7 +93,8 @@ def main(argv):
     # 2. flow-side vs repair-side: samples at the selected config with and
     #    without the repairs (repairs add edges that can close triangles).
     base = {k: v for k, v in sampling.items()
-            if k not in ("connect_isolated", "connect_components")}
+            if k not in ("connect_isolated", "connect_components",
+                         "break_triangles")}
     for name, kw in (
         ("norepair", base),
         ("selected", sampling),

@@ -323,3 +323,28 @@ def test_bridge_mode_tri_targets_triangle_free_edges():
     iu, iv = np.nonzero(np.triu(bridge, 1))
     assert len(iu) == 1  # exactly the barbell bridge
     assert {int(g.degree(int(iu[0]))), int(g.degree(int(iv[0])))} == {4}
+
+
+def test_break_triangles_repair():
+    """break_triangles_np removes lowest-probability triangle edges until
+    none remain, never touches padded slots, and composed with
+    connect_components (break THEN connect) yields a connected
+    triangle-free graph."""
+    import networkx as nx
+
+    from gnfx.graph import networkx_to_arrays
+    from gnfx.sample import break_triangles_np, connect_components_np
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        g = nx.gnp_random_graph(10, 0.45, seed=int(rng.integers(1 << 30)))
+        adj, n = networkx_to_arrays([g], 12)
+        probs = rng.random((12, 12)); probs = (probs + probs.T) / 2
+        a = break_triangles_np(adj[0], probs, 10)
+        gg = nx.from_numpy_array(a[:10, :10])
+        assert sum(nx.triangles(gg).values()) == 0
+        assert a[10:, :].sum() == 0 and a[:, 10:].sum() == 0
+        a2 = connect_components_np(a, probs, 10)
+        gg2 = nx.from_numpy_array(a2[:10, :10])
+        assert sum(nx.triangles(gg2).values()) == 0  # connect never closes
+        assert nx.is_connected(gg2)
