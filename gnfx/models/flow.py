@@ -66,6 +66,13 @@ class FlowConfig:
     # and the log-det formula are untouched; bounds how activation growth in
     # x feeds back into s/t magnitudes (load-bearing for deep stacks).
     st_input_norm: bool = False
+    # lax.scan unroll factor for the coupling stack (pure perf, identical
+    # math). Tiny-graph training is op-dispatch-bound on device (~3.9k XLA
+    # ops/step, runs/trace-community/trace_summary.json); unrolling removes
+    # per-iteration while-loop overhead and lets XLA fuse across couplings,
+    # at the cost of compile time. Must divide num_couplings (lax.scan
+    # requirement is only that it's a positive int; partial unroll is fine).
+    scan_unroll: int = 1
 
     def __post_init__(self):
         if self.node_dim % 2 != 0:
@@ -310,7 +317,8 @@ def flow_forward(
         z, ldi = coupling_forward(layer_params, cfg, h, graph)
         return (z, ld + ldi), None
 
-    (z, logdet), _ = jax.lax.scan(body, (x, ld0), couplings)
+    (z, logdet), _ = jax.lax.scan(body, (x, ld0), couplings,
+                                  unroll=cfg.scan_unroll)
     return z, logdet
 
 
@@ -330,7 +338,8 @@ def flow_inverse(
         return (x, ld + ldi), None
 
     init = (z, jnp.zeros((z.shape[0],), jnp.float32))
-    (x, logdet), _ = jax.lax.scan(body, init, couplings, reverse=True)
+    (x, logdet), _ = jax.lax.scan(body, init, couplings, reverse=True,
+                                  unroll=cfg.scan_unroll)
     if an is not None:
         x, ld_an = actnorm_inverse(an, x, graph)
         logdet = logdet + ld_an
