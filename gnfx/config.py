@@ -106,6 +106,12 @@ class TrainConfig:
     # post-hoc selection (scripts/stepsweep.py) can compare raw vs EMA per
     # checkpoint; sampling/eval during training use the EMA when enabled.
     ema_decay: float = 0.0
+    # >0: git-commit the run's latest checkpoint + metrics at checkpoint
+    # cadence, throttled to this many seconds between commits (failure
+    # recovery: only committed files survive this box's reimages — the
+    # round-3 deep24 result was lost to an end-of-job-only commit policy).
+    # Long-run job templates set 900; 0 keeps short runs commit-free.
+    git_commit_s: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

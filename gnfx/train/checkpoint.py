@@ -13,7 +13,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import tempfile
+import time
 from typing import Any, Tuple
 
 import jax
@@ -83,6 +85,86 @@ def _prune(ckpt_dir: str, keep: int):
 def latest_step(ckpt_dir: str) -> int | None:
     steps = _ckpt_steps(ckpt_dir)
     return steps[-1] if steps else None
+
+
+# --------------------------------------------------------------------------
+# In-job artifact commits (failure recovery, SURVEY.md §5): this box gets
+# reimaged without warning — only files committed to git survive. Committing
+# run artifacts only at job END left a window hours wide on long runs (the
+# round-3 deep24 result was lost to exactly that). This hook commits the
+# latest checkpoint + metrics at checkpoint cadence DURING training, so a
+# reimage costs at most one throttle interval of progress.
+# --------------------------------------------------------------------------
+
+_LAST_COMMIT_T: dict = {}
+
+
+def _git_root(path: str) -> str | None:
+    d = os.path.abspath(path)
+    while True:
+        if os.path.isdir(os.path.join(d, ".git")):
+            return d
+        parent = os.path.dirname(d)
+        if parent == d:
+            return None
+        d = parent
+
+
+def commit_run_artifacts(
+    run_dir: str, step: int, *, min_interval_s: float = 900.0,
+    force: bool = False, label: str = "in-job checkpoint",
+) -> bool:
+    """Git-commit a run's durable artifacts mid-job (throttled).
+
+    Commits ONLY pathspecs under `run_dir` (config/metrics/results JSONs,
+    params dirs, the latest ckpt in ckpt/ and ckpt_ae/ plus deletions of
+    pruned ones), so concurrently staged unrelated work is never swept in.
+    Failures (index.lock held by another process, no repo — e.g. tests in
+    tmp dirs) are non-fatal: return False and retry at the next cadence.
+    """
+    if jax.process_index() != 0:
+        return False
+    key = os.path.abspath(run_dir)
+    now = time.monotonic()
+    if not force and now - _LAST_COMMIT_T.get(key, -1e18) < min_interval_s:
+        return False
+    repo = _git_root(run_dir)
+    if repo is None:
+        return False
+    rel = os.path.relpath(key, repo)
+    adds = []
+    for f in ("config.json", "metrics.jsonl", "results.json",
+              "stepsweep.json", "eval_ci.json"):
+        if os.path.exists(os.path.join(key, f)):
+            adds.append(os.path.join(rel, f))
+    for d in ("params", "params_ae"):
+        if os.path.isdir(os.path.join(key, d)):
+            adds.append(os.path.join(rel, d))
+    for d in ("ckpt", "ckpt_ae"):
+        steps = _ckpt_steps(os.path.join(key, d))
+        if steps:
+            base = os.path.join(rel, d, f"ckpt_{steps[-1]:08d}")
+            adds.append(base + ".npz")
+            if os.path.exists(os.path.join(repo, base + ".npz.meta.json")):
+                adds.append(base + ".npz.meta.json")
+    if not adds:
+        return False
+
+    def git(*args):
+        return subprocess.run(["git", "-C", repo, *args],
+                              capture_output=True, text=True)
+
+    if git("add", "-f", "--", *adds).returncode != 0:
+        return False  # likely index.lock contention — retry next cadence
+    # stage deletions of pruned (tracked-but-removed) files; runs/ is
+    # gitignored so this never adds new untracked content
+    git("add", "-A", "--", rel)
+    r = git("commit", "-q", "--no-verify",
+            "-m", f"{os.path.basename(key)}: {label} @ step {step}",
+            "--", rel)
+    # "nothing to commit" also counts as up-to-date — don't re-try hot
+    _LAST_COMMIT_T[key] = now
+    return r.returncode == 0
 
 
 def restore_checkpoint(ckpt_dir: str, state_template: Any, step: int | None = None) -> Tuple[Any, int]:

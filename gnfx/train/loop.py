@@ -27,7 +27,8 @@ from gnfx.data.batching import repeat_batches, stacked_repeat_batches
 from gnfx.graph import GraphBatch, batch_from_dense
 from gnfx.models import autoencoder as ae
 from gnfx.models.flow import FlowConfig, init_flow, log_prob
-from gnfx.train.checkpoint import restore_checkpoint, save_checkpoint, latest_step
+from gnfx.train.checkpoint import (commit_run_artifacts, latest_step,
+                                   restore_checkpoint, save_checkpoint)
 from gnfx.utils.profiling import StepTimer, trace_context
 
 # Cooperative wind-down (tools/wind_down.sh): when this file appears, the
@@ -81,20 +82,41 @@ def train_autoencoder(
     n_node: np.ndarray,
     *,
     metrics: MetricsWriter | None = None,
+    resume: bool = False,
 ) -> dict:
     acfg = cfg.ae
-    key = jax.random.PRNGKey(cfg.train.seed)
+    tcfg = cfg.train
+    key = jax.random.PRNGKey(tcfg.seed)
     params = ae.init_autoencoder(key, acfg)
-    tx = make_optimizer(acfg.lr, cfg.train.lr_warmup, cfg.train.grad_clip,
+    tx = make_optimizer(acfg.lr, tcfg.lr_warmup, tcfg.grad_clip,
                         acfg.train_steps)
     opt_state = tx.init(params)
     _, one_step = make_ae_step(cfg, tx)
     multi_step = make_multi_step(one_step, key)
 
-    chunk = max(1, cfg.train.steps_per_call)
+    # Mid-stage checkpoint/resume: the stage-1 AE used to checkpoint only at
+    # completion, so a crash/reimage during a long AE (protein: 15k steps at
+    # N=512) lost the whole stage. The data stream is a pure function of
+    # (seed, step), so resume is exact — same keys, same batch order.
+    run_dir = os.path.dirname(tcfg.checkpoint_dir)
+    ae_ckpt_dir = os.path.join(run_dir, "ckpt_ae")
+    # persistence is opt-in (resume jobs / cadence-commit jobs): library
+    # callers with the default checkpoint_dir (tests, ae_ceiling screens)
+    # must not litter ckpt_ae/ into their CWD
+    persist = resume or tcfg.git_commit_s > 0
+    start_step = 0
+    if resume and latest_step(ae_ckpt_dir) is not None:
+        (params, opt_state), start_step = restore_checkpoint(
+            ae_ckpt_dir, (params, opt_state))
+        print(f"[gnfx] stage-1 AE resumed at step {start_step} "
+              f"from {ae_ckpt_dir}", flush=True)
+        if start_step >= acfg.train_steps:
+            return params
+
+    chunk = max(1, tcfg.steps_per_call)
     batches = stacked_repeat_batches(adj, n_node, cfg.data.batch_size,
                                      acfg.train_steps, chunk,
-                                     seed=cfg.data.seed)
+                                     seed=cfg.data.seed, start_step=start_step)
     for steps, gb in batches:
         params, opt_state, losses, auxes = multi_step(
             params, opt_state, gb, jnp.asarray(steps)
@@ -106,9 +128,24 @@ def train_autoencoder(
         auxes = {k: np.asarray(v) for k, v in auxes.items()}
         if metrics is not None:
             for j, s in enumerate(steps):
-                if s % cfg.train.log_every == 0 or s == acfg.train_steps - 1:
+                if s % tcfg.log_every == 0 or s == acfg.train_steps - 1:
                     metrics.write(int(s), stage="ae", bce=losses[j],
                                   **{k: v[j] for k, v in auxes.items()})
+        chunk_end = int(steps[-1]) + 1
+        last = chunk_end == acfg.train_steps
+        stop = persist and os.path.exists(STOP_SENTINEL) and not last
+        if persist and (stop or last or any(
+                s % tcfg.checkpoint_every == 0 and s > 0 for s in steps)):
+            save_checkpoint(ae_ckpt_dir, chunk_end, (params, opt_state),
+                            keep=2)
+            if tcfg.git_commit_s > 0:
+                commit_run_artifacts(run_dir, chunk_end,
+                                     min_interval_s=tcfg.git_commit_s,
+                                     force=stop, label="in-job AE checkpoint")
+        if stop:
+            print(f"[gnfx] STOP sentinel at AE step {chunk_end} — "
+                  "checkpointed, exiting (resume=1 continues)", flush=True)
+            raise SystemExit(3)
     return params
 
 
@@ -419,6 +456,10 @@ def train_flow(
                             (params, opt_state, ema) if use_ema
                             else (params, opt_state),
                             keep=tcfg.checkpoint_keep)
+            if tcfg.git_commit_s > 0:
+                commit_run_artifacts(
+                    os.path.dirname(tcfg.checkpoint_dir), chunk_end,
+                    force=True, label="STOP-sentinel checkpoint")
             print(f"[gnfx] STOP sentinel at step {chunk_end} — checkpointed, "
                   "exiting (resume=1 continues)", flush=True)
             raise SystemExit(3)
@@ -426,4 +467,8 @@ def train_flow(
             state = (params, opt_state, ema) if use_ema else (params, opt_state)
             save_checkpoint(tcfg.checkpoint_dir, chunk_end, state,
                             keep=tcfg.checkpoint_keep)
+            if tcfg.git_commit_s > 0:
+                commit_run_artifacts(
+                    os.path.dirname(tcfg.checkpoint_dir), chunk_end,
+                    min_interval_s=tcfg.git_commit_s, force=last)
     return ema if use_ema else params

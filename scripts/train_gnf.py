@@ -45,6 +45,14 @@ def main(argv):
         if a.startswith("ae_from="):
             ae_from = a.split("=", 1)[1]
             overrides.remove(a)
+    # debug_nans=1: numerical tripwire (gnfx/utils/debug.py) — any NaN
+    # produced under jit raises at the producing op instead of poisoning
+    # the run (used to localise the round-5 deep-stack divergence class)
+    if "debug_nans=1" in overrides:
+        overrides.remove("debug_nans=1")
+        from gnfx.utils.debug import enable_nan_checks
+        enable_nan_checks()
+        print("[gnfx] jax_debug_nans ON (slow; debugging only)", flush=True)
     cfg = load_config(overrides)
 
     run_dir = os.path.join("runs", cfg.name)
@@ -109,7 +117,11 @@ def main(argv):
         ae_params = _restore_ae(ae_dir)
         print(f"[gnfx] stage-1 AE restored from {ae_dir}", flush=True)
     else:
-        ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics)
+        # resume=1 also continues a PARTIAL stage-1 AE from run_dir/ckpt_ae
+        # (mid-stage checkpoints — a reimage during a long AE no longer
+        # costs the whole stage)
+        ae_params = train_autoencoder(cfg, adj_tr, n_tr, metrics=metrics,
+                                      resume=resume)
         # persist immediately: restarts resume stage 2 without retraining the
         # AE, and mid-run generation/eval (generate.py step=K) can decode
         save_checkpoint(ae_dir, cfg.ae.train_steps, {"ae": ae_params})

@@ -31,7 +31,15 @@ def main(argv):
     name = "cora"
     overrides = {}
     for a in argv:
-        if "=" in a:
+        if a == "debug_nans=1":
+            # numerical tripwire (gnfx/utils/debug.py): NaNs raise at the
+            # producing op — the tool for diagnosing CE-loss divergences
+            # like the round-1 affine-coupling blowup
+            from gnfx.utils.debug import enable_nan_checks
+            enable_nan_checks()
+            print("[gnfx] jax_debug_nans ON (slow; debugging only)",
+                  flush=True)
+        elif "=" in a:
             k, v = a.split("=", 1)
             overrides[k] = v
         else:

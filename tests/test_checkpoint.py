@@ -219,6 +219,92 @@ def test_ema_chunk_invariance_and_checkpoint(tmp_path):
     )
 
 
+def test_ae_resume_continuity(tmp_path):
+    """Stage-1 AE mid-stage resume (round-3 verdict weak #4: a reimage
+    during a long AE used to cost the whole stage): interrupt at 10 steps,
+    resume to 20 — final params equal an uninterrupted 20-step run."""
+    import dataclasses
+    import jax
+
+    from gnfx.config import PRESETS
+    from gnfx.data import create_dataset, dataset_to_arrays
+    from gnfx.train.loop import train_autoencoder
+
+    base = PRESETS["smoke"]
+    graphs, _, max_n = create_dataset("community-small", num_graphs=20)
+    adj, n_node = dataset_to_arrays(graphs, max_n)
+
+    def cfg_for(ae_steps, run_dir):
+        return dataclasses.replace(
+            base,
+            ae=dataclasses.replace(base.ae, train_steps=ae_steps),
+            data=dataclasses.replace(base.data, batch_size=4),
+            train=dataclasses.replace(
+                base.train, checkpoint_every=10, eval_every=10**9,
+                checkpoint_dir=str(run_dir / "ckpt")),
+        )
+
+    p_full = train_autoencoder(cfg_for(20, tmp_path / "a"), adj, n_node,
+                               resume=True)
+    train_autoencoder(cfg_for(10, tmp_path / "b"), adj, n_node, resume=True)
+    assert latest_step(str(tmp_path / "b" / "ckpt_ae")) == 10
+    p_res = train_autoencoder(cfg_for(20, tmp_path / "b"), adj, n_node,
+                              resume=True)
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    # library callers without resume must not write ckpt_ae at all
+    train_autoencoder(cfg_for(5, tmp_path / "c"), adj, n_node)
+    assert latest_step(str(tmp_path / "c" / "ckpt_ae")) is None
+
+
+def test_commit_run_artifacts(tmp_path):
+    """In-job artifact commits: latest ckpt + run JSONs land in git at
+    checkpoint cadence (throttled), pruned ckpts are committed as deletions,
+    and a repo-less run_dir is a silent no-op."""
+    import subprocess
+
+    from gnfx.train.checkpoint import commit_run_artifacts
+
+    repo = tmp_path / "repo"
+    run = repo / "runs" / "x"
+    run.mkdir(parents=True)
+
+    def git(*args):
+        return subprocess.run(["git", "-C", str(repo), *args],
+                              capture_output=True, text=True, check=False)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (repo / ".gitignore").write_text("runs/\n")
+    git("add", ".gitignore")
+    git("commit", "-q", "-m", "init")
+
+    (run / "config.json").write_text("{}")
+    save_checkpoint(str(run / "ckpt"), 10, _state(), keep=2)
+    assert commit_run_artifacts(str(run), 10, min_interval_s=10**9)
+    tracked = git("ls-files").stdout
+    assert "runs/x/ckpt/ckpt_00000010.npz" in tracked
+    assert "runs/x/config.json" in tracked
+
+    # within the throttle window: no new commit
+    save_checkpoint(str(run / "ckpt"), 20, _state(), keep=2)
+    assert not commit_run_artifacts(str(run), 20, min_interval_s=10**9)
+    # force (STOP / end-of-job) bypasses the throttle; prune deletions land
+    save_checkpoint(str(run / "ckpt"), 30, _state(), keep=1)
+    assert commit_run_artifacts(str(run), 30, force=True)
+    tracked = git("ls-files").stdout
+    assert "ckpt_00000030.npz" in tracked
+    assert "ckpt_00000010.npz" not in tracked
+    assert git("status", "--porcelain", "--", "runs/x").stdout.strip() == ""
+
+    # outside any git repo: harmless no-op
+    lone = tmp_path / "lone_run"
+    (lone / "ckpt").mkdir(parents=True)
+    assert not commit_run_artifacts(str(lone), 0, force=True)
+
+
 def test_config_round_trip():
     """from_dict(to_dict(cfg)) == cfg for every preset (generate.py relies
     on rebuilding configs from a run's config.json)."""

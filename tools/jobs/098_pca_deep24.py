@@ -17,5 +17,6 @@ main([
     "flow.st_input_norm=True",
     "train.num_steps=400000",
     "train.steps_per_call=256",
+    "train.git_commit_s=900",
     "resume=1",
 ])

@@ -27,5 +27,6 @@ main([
     "name=protein-pca",
     f"ae.decoder_c={best['decoder_c']}",
     f"ae.bridge_weight={best['bridge_weight']}",
+    "train.git_commit_s=900",
     "resume=1",
 ])

@@ -14,5 +14,6 @@ main([
     "name=community-small-tri2",
     "ae.bridge_mode=tri",
     "ae.bridge_weight=2.0",
+    "train.git_commit_s=900",
     "resume=1",
 ])

@@ -20,5 +20,6 @@ main([
     "grid-pca",
     "name=grid-lever",
     *best["overrides"],
+    "train.git_commit_s=900",
     "resume=1",
 ])

@@ -13,5 +13,6 @@ main([
     "flow.num_couplings=24",
     "flow.st_input_norm=True",
     "train.seed=1",
+    "train.git_commit_s=900",
     "resume=1",
 ])
