@@ -116,7 +116,14 @@ def unrolled_flops_per_step(cfg, tx, params, opt_state, x, gb) -> float:
 
 
 def main():
-    cfg = FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3)
+    # scan_unroll=T (full unroll of the coupling stack): measured 1.21x at
+    # this shape (runs/unroll_probe.json: 784.9 vs 647.5 steps/s) and 1.6x
+    # at the flagship shape (runs/unroll_flagship.json). Identical math —
+    # lax.scan unroll is a pure compilation knob; tiny-graph training is
+    # op-dispatch-bound ON DEVICE (runs/trace-community) and unrolling lets
+    # XLA fuse across couplings instead of re-entering a while loop.
+    cfg = FlowConfig(node_dim=14, num_couplings=10, gnn_hidden=64, gnn_rounds=3,
+                     scan_unroll=10)
     params = init_flow(jax.random.PRNGKey(0), cfg)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
@@ -220,7 +227,7 @@ def main():
         "mfu": round(mfu, 4),
         "peak_tflops_bf16": PEAK_TFLOPS_BF16,
         "physics_ok": bool(tflops_per_s <= PEAK_TFLOPS_BF16),
-        "config": "community-small B=32 N=20 D=14 T=10 H=64 R=3",
+        "config": "community-small B=32 N=20 D=14 T=10 H=64 R=3 unroll=10",
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

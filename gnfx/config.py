@@ -141,9 +141,13 @@ PRESETS: dict[str, ExperimentConfig] = {
     "community-small": _preset(
         "community-small",
         data=DataConfig(dataset="community-small", batch_size=32),
+        # scan_unroll=12 (full coupling-stack unroll): measured 1.6x device
+        # steps/s at exactly this shape (runs/unroll_flagship.json, 557 vs
+        # 348) — tiny-graph training is op-dispatch-bound on device and the
+        # unroll lets XLA fuse across couplings. Pure compile knob, same math.
         flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
                         gnn_rounds=3, message_mode="attention",
-                        use_actnorm=True),
+                        use_actnorm=True, scan_unroll=12),
         # AE settings from the reconstruction-ceiling sweep (see BASELINE.md):
         # sharper decoder + wider embeddings + longer training drop the
         # encode->decode MMD ceiling from 0.12/0.36/0.13 to ~0.05/0.12/0.05
@@ -158,7 +162,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         data=DataConfig(dataset="ego-small", batch_size=32),
         flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
                         gnn_rounds=3, message_mode="attention",
-                        use_actnorm=True),
+                        use_actnorm=True, scan_unroll=12),
         ae=AEConfig(embed_dim=20, feature_dim=20, gnn_hidden=128, gnn_rounds=4,
                     decoder_c=50.0, train_steps=20000, pos_weight=1.0),
         train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,
@@ -170,7 +174,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         data=DataConfig(dataset="grid", batch_size=32),
         flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
                         gnn_rounds=3, message_mode="attention",
-                        use_actnorm=True),
+                        use_actnorm=True, scan_unroll=12),
         ae=AEConfig(embed_dim=20, feature_dim=20, gnn_hidden=128, gnn_rounds=4,
                     decoder_c=50.0, train_steps=20000, pos_weight=1.0),
         train=TrainConfig(num_steps=200000, lr=7e-4, log_every=2000,

@@ -23,7 +23,9 @@ import numpy as np
 import optax
 
 from gnfx.config import ExperimentConfig
-from gnfx.data.batching import repeat_batches, stacked_repeat_batches
+from gnfx.data.batching import (
+    device_stacked_repeat_batches, repeat_batches, stacked_repeat_batches,
+)
 from gnfx.graph import GraphBatch, batch_from_dense
 from gnfx.models import autoencoder as ae
 from gnfx.models.flow import FlowConfig, init_flow, log_prob
@@ -114,9 +116,13 @@ def train_autoencoder(
             return params
 
     chunk = max(1, tcfg.steps_per_call)
-    batches = stacked_repeat_batches(adj, n_node, cfg.data.batch_size,
-                                     acfg.train_steps, chunk,
-                                     seed=cfg.data.seed, start_step=start_step)
+    # device-resident data: same per-step batches, but only a [K, B] index
+    # array crosses host->device per chunk (see device_stacked_repeat_batches
+    # — the relay retains host copies of transfers; raw N=512 adjacency
+    # streaming leaked ~5 GB/min and OOM-killed the round-4 protein job)
+    batches = device_stacked_repeat_batches(
+        adj, n_node, cfg.data.batch_size, acfg.train_steps, chunk,
+        seed=cfg.data.seed, start_step=start_step)
     for steps, gb in batches:
         params, opt_state, losses, auxes = multi_step(
             params, opt_state, gb, jnp.asarray(steps)
@@ -384,10 +390,20 @@ def train_flow(
     )
 
     chunk = max(1, tcfg.steps_per_call)
-    batches = stacked_repeat_batches(
-        adj, n_node, cfg.data.batch_size, tcfg.num_steps, chunk,
-        seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
-    )
+    # single-device: device-resident dataset + on-device gather (only a
+    # [K, B] index transfer per chunk — see device_stacked_repeat_batches).
+    # Mesh runs keep the host path: shard_batch places each chunk across
+    # the data axis explicitly.
+    if mesh is None:
+        batches = device_stacked_repeat_batches(
+            adj, n_node, cfg.data.batch_size, tcfg.num_steps, chunk,
+            seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
+        )
+    else:
+        batches = stacked_repeat_batches(
+            adj, n_node, cfg.data.batch_size, tcfg.num_steps, chunk,
+            seed=cfg.data.seed + 1, start_step=start_step, nodes=embeddings,
+        )
     if mesh is not None:
         # data-parallel: batch sharded over the mesh's data axis, params
         # replicated; the gradient all-reduce is jit's implicit psum

@@ -315,3 +315,31 @@ def test_config_round_trip():
     for name, cfg in PRESETS.items():
         rebuilt = from_dict(json.loads(json.dumps(to_dict(cfg))))
         assert rebuilt == cfg, name
+
+
+def test_device_stacked_batches_match_host():
+    """device_stacked_repeat_batches (device-resident dataset + on-device
+    gather) yields bit-identical chunks to stacked_repeat_batches — the
+    round-4 transfer-volume fix must not change what any step sees."""
+    import jax
+    from gnfx.data.batching import (
+        device_stacked_repeat_batches, stacked_repeat_batches,
+    )
+
+    rng = np.random.default_rng(2)
+    adj = (rng.random((10, 6, 6)) < 0.3).astype(np.float32)
+    adj = np.triu(adj, 1)
+    adj = adj + adj.transpose(0, 2, 1)
+    n_node = rng.integers(3, 7, size=10).astype(np.int32)
+    feats = rng.normal(size=(10, 6, 4)).astype(np.float32)
+
+    for nodes in (None, feats):
+        host = list(stacked_repeat_batches(
+            adj, n_node, 4, 11, 4, seed=7, start_step=3, nodes=nodes))
+        dev = list(device_stacked_repeat_batches(
+            adj, n_node, 4, 11, 4, seed=7, start_step=3, nodes=nodes))
+        assert len(host) == len(dev)
+        for (s_h, gb_h), (s_d, gb_d) in zip(host, dev):
+            np.testing.assert_array_equal(s_h, s_d)
+            for a, b in zip(jax.tree.leaves(gb_h), jax.tree.leaves(gb_d)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
