@@ -14,6 +14,7 @@ Runs: stage-1 auto-encoder -> frozen-encoder embeddings -> stage-2 GNF
 <run_dir>/metrics.jsonl, final results to <run_dir>/results.json.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -100,8 +101,13 @@ def main(argv):
             src_ae = json.load(f)["ae"]
         ours = to_dict(cfg)["ae"]
         skip = ("canonicalize", "canon_jitter")
+        # a key absent from the source config means the field was added
+        # AFTER that run was saved — the source trained with the behavior
+        # today's default encodes, so absent-vs-default is compatible
+        defaults = to_dict(dataclasses.replace(cfg, ae=type(cfg.ae)()))["ae"]
         diff = {k: (src_ae.get(k), v) for k, v in ours.items()
-                if k not in skip and src_ae.get(k) != v}
+                if k not in skip
+                and (src_ae[k] != v if k in src_ae else v != defaults[k])}
         if diff:
             raise ValueError(
                 f"ae_from={ae_from}: AE config mismatch (source, ours): {diff}")

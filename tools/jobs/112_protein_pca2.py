@@ -14,6 +14,7 @@ main([
     "protein-pca",
     "name=protein-pca2",
     "ae_from=protein-pca",
+    "ae.decoder_c=100.0",  # the source AE's sweep-winner config (job 110)
     "flow.st_input_norm=True",
     "train.lr_warmup=2000",
     "train.git_commit_s=900",
