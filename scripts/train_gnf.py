@@ -33,6 +33,19 @@ from gnfx.train.loop import train_autoencoder, train_flow
 from gnfx.train.metrics import MetricsWriter
 
 
+def ae_config_diff(src_ae: dict, ours: dict, defaults: dict) -> dict:
+    """Fields where a source run's saved AE config is incompatible with
+    ours for `ae_from` reuse. The canonicalize fields are a stage-1->2
+    handoff choice, not an AE training property — they may differ (that's
+    the point of reuse). A key absent from the source config means the
+    field was added AFTER that run was saved — the source trained with the
+    behavior today's default encodes, so absent-vs-default is compatible."""
+    skip = ("canonicalize", "canon_jitter")
+    return {k: (src_ae.get(k), v) for k, v in ours.items()
+            if k not in skip
+            and (src_ae[k] != v if k in src_ae else v != defaults[k])}
+
+
 def main(argv):
     overrides = [a for a in argv if a not in ("--resume",)]
     resume = "resume=1" in overrides or "--resume" in argv
@@ -93,21 +106,12 @@ def main(argv):
     if ae_from is not None and not (resume and os.path.isdir(ae_dir)):
         # the source AE must have been TRAINED with the same AE config;
         # shape-identical mismatches (decoder_c, aggregation, a dropped mlp
-        # decoder) restore silently, so compare configs, not leaves. The
-        # canonicalize fields are a stage-1->2 handoff choice, not an AE
-        # training property — they may differ (that's the point of reuse).
+        # decoder) restore silently, so compare configs, not leaves
         src_cfg_path = os.path.join("runs", ae_from, "config.json")
         with open(src_cfg_path) as f:
             src_ae = json.load(f)["ae"]
-        ours = to_dict(cfg)["ae"]
-        skip = ("canonicalize", "canon_jitter")
-        # a key absent from the source config means the field was added
-        # AFTER that run was saved — the source trained with the behavior
-        # today's default encodes, so absent-vs-default is compatible
         defaults = to_dict(dataclasses.replace(cfg, ae=type(cfg.ae)()))["ae"]
-        diff = {k: (src_ae.get(k), v) for k, v in ours.items()
-                if k not in skip
-                and (src_ae[k] != v if k in src_ae else v != defaults[k])}
+        diff = ae_config_diff(src_ae, to_dict(cfg)["ae"], defaults)
         if diff:
             raise ValueError(
                 f"ae_from={ae_from}: AE config mismatch (source, ours): {diff}")
