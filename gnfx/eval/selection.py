@@ -41,19 +41,29 @@ def selection_score(
     *,
     connectivity_weight: float = CONNECTIVITY_WEIGHT,
     ref_frac_connected: float | None = None,
+    include_orbit: bool = True,
 ) -> dict:
     """Score a generated set against the (train-split) reference set.
 
     Returns a dict with the total under "score" plus its components, so
     sweep artifacts can record what the selection actually traded off.
     Pass ``ref_frac_connected`` to avoid recomputing it per grid point.
+
+    ``include_orbit=False`` drops the orbit term — the big-N SCREENING
+    mode: orbit ESU on dense N≈500 probes is minutes per grid point and
+    dominates sweep cost; screening then ranks on degree+clustering+
+    connectivity and the orbit-inclusive score returns in the refinement
+    pass (and the test-split report is always full). Orbit-free scores
+    are NOT comparable with full scores — callers must not mix them in
+    one ranking.
     """
     if ref_frac_connected is None:
         ref_frac_connected = frac_connected(ref_graphs)
     gen_conn = frac_connected(gen_graphs)
-    mmd = (degree_stats(ref_graphs, gen_graphs)
-           + clustering_stats(ref_graphs, gen_graphs)
-           + orbit_stats(ref_graphs, gen_graphs))
+    mmd = degree_stats(ref_graphs, gen_graphs) + clustering_stats(
+        ref_graphs, gen_graphs)
+    if include_orbit:
+        mmd += orbit_stats(ref_graphs, gen_graphs)
     penalty = connectivity_weight * max(0.0, ref_frac_connected - gen_conn)
     return {
         "score": mmd + penalty,

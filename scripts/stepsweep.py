@@ -98,16 +98,22 @@ def main(argv):
     use_ema = cfg.train.ema_decay > 0.0
 
     temps, decodes, n_probe = TEMPS, DECODES, 64
+    n_refine, screen_orbit = 256, True
     repairs = REPAIRS
     import networkx as nx
     if all(sum(nx.triangles(g).values()) == 0 for g in train_g):
         repairs = REPAIRS + TRIANGLE_FREE_REPAIRS
     if max_n >= 128:
         # big-N screening reduction (same rationale as train_gnf.py: the
-        # grid is host-orbit-bound at N≈500, minutes per dense probe)
-        temps = (1.0, 0.8, 0.6)
+        # grid is host-orbit-bound at N≈500, minutes per dense probe).
+        # Orbit leaves the SCREEN entirely (it returns in refine + the
+        # test report) — that buys back enough budget for a finer
+        # temperature grid, which protein needs: measured mean edges at
+        # 60k swing 136 -> 2989 -> 20478 across T=1.0/0.8/0.6 (real 975),
+        # so the density-matching T lives BETWEEN the old grid points.
+        temps = (1.0, 0.9, 0.8, 0.7, 0.6)
         decodes = ((0.5, False), (0.3, False), (0.5, True))
-        n_probe = 32
+        n_probe, n_refine, screen_orbit = 32, 96, False
 
     out = []
     if refine_only:
@@ -148,7 +154,8 @@ def main(argv):
                             break_triangles=bt,
                         )
                         parts = selection_score(
-                            train_g, probe, ref_frac_connected=conn_tr)
+                            train_g, probe, ref_frac_connected=conn_tr,
+                            include_orbit=screen_orbit)
                         if parts["score"] < best_score:
                             pick = dict(temp=T, thr=thr, ci=ci, es=es, cc=cc,
                                         bt=bt)
@@ -197,7 +204,7 @@ def main(argv):
         scores = []
         for rs in (9011, 9012, 9013):
             probe = sample_graphs(
-                flow_p, ae_p, cfg.flow, cfg.ae, 256, size_dist, max_n,
+                flow_p, ae_p, cfg.flow, cfg.ae, n_refine, size_dist, max_n,
                 seed=rs, batch_size=cfg.data.batch_size,
                 temperature=rec["temp"], threshold=rec["threshold"],
                 connect_isolated=rec.get("connect_isolated", False),
@@ -224,8 +231,11 @@ def main(argv):
     # not compete with penalty-inflated scores on the raw fallback — in a
     # mixed file (refine_only on an old sweep), rank only rows that were
     # re-scored under the current protocol.
-    pool = [r for r in out if "train_score_refined" in r
-            or "train_conn_penalty" in r]
+    # Orbit-free big-N screening scores are not comparable with refined
+    # (orbit-inclusive) scores, so when any refined rows exist they ARE
+    # the pool — the screen only nominates candidates.
+    refined = [r for r in out if "train_score_refined" in r]
+    pool = refined or [r for r in out if "train_conn_penalty" in r]
     best = min(pool or out, key=lambda r: r.get("train_score_refined",
                                                 r["train_score"]))
     oracle = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"]

@@ -204,14 +204,21 @@ def main(argv):
         repairs += [(False, False, True), (False, True, True)]
     temps = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
     n_probe = 64
+    screen_orbit = True
     if max_nodes >= 128:
         # big-N screening: the grid's cost is HOST-side graph statistics
         # (orbit ESU on dense low-threshold decodes at N≈500 runs minutes
         # PER PROBE — measured on protein-v1), not device sampling. Shrink
         # the grid and the probe set; the final eval below stays full.
-        temps = (1.0, 0.8, 0.6)
+        # Orbit leaves the screen (degree+clustering+connectivity rank the
+        # grid; see gnfx/eval/selection.py) — the budget goes to a finer
+        # temperature grid instead: protein's decode density is extremely
+        # steep in T (mean edges 136/2989/20478 at T=1.0/0.8/0.6, real
+        # ~975), so the density-matching T falls between the coarse points.
+        temps = (1.0, 0.9, 0.8, 0.7, 0.6)
         decodes = [(0.5, False), (0.3, False), (0.5, True)]
         n_probe = 32
+        screen_orbit = False
     best = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False, bt=False)
     best_score = float("inf")
     for temp in temps:
@@ -226,7 +233,8 @@ def main(argv):
                     break_triangles=bt,
                 )
                 parts = selection_score(train_graphs, probe,
-                                        ref_frac_connected=conn_tr)
+                                        ref_frac_connected=conn_tr,
+                                        include_orbit=screen_orbit)
                 score = parts["score"]
                 print(f"[gnfx] temp {temp} thr {thr} ci {int(ci)} es {int(es)}"
                       f" cc {int(cc)} bt {int(bt)}: train-split score "

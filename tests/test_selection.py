@@ -42,6 +42,20 @@ def test_selection_score_penalises_disconnection():
     assert selection_score(disconnected, ref)["connectivity_penalty"] == 0.0
 
 
+def test_selection_score_orbit_free_screen():
+    # Big-N screening mode: include_orbit=False drops exactly the orbit
+    # term (degree+clustering+penalty unchanged) — used where orbit ESU on
+    # dense N≈500 probes dominates sweep cost (scripts/stepsweep.py).
+    ref = [nx.cycle_graph(6) for _ in range(3)]
+    gen = [nx.complete_graph(6) for _ in range(3)]        # triangle-rich
+    full = selection_score(ref, gen)
+    screen = selection_score(ref, gen, include_orbit=False)
+    assert screen["mmd_sum"] < full["mmd_sum"]            # orbit term > 0 here
+    assert screen["connectivity_penalty"] == full["connectivity_penalty"]
+    # identical sets still score 0 without the orbit term
+    assert selection_score(ref, ref, include_orbit=False)["mmd_sum"] == 0.0
+
+
 def test_connect_components_merges_by_probability():
     # two components {0,1} and {2,3}; the repair must add the single
     # highest-probability cross edge (1, 2), not (0, 3)
