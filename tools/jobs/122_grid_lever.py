@@ -1,4 +1,13 @@
-"""Grid clustering-defect lever retrain (round-3 verdict item 4, step 2):
+"""Grid clustering-defect lever retrain (round-3 verdict item 4, step 2)
+— DEPRIORITIZED on screen evidence (round 4): the resweep already landed
+clustering 0.000 via break_triangles (BASELINE grid row, MMD sum 0.187),
+leaving degree 0.176 as the only defect; the AE screen's own numbers say
+the AE is NOT the binding constraint there (baseline ceiling deg 0.059 vs
+0.063 at the best override) — so this retrain can at most close a
+flow/selection-side gap. Runs after the protein horizon extension; a
+measured null here still closes the verdict item.
+
+Original rationale:
 the triangle probe attributed the defect DECODE-side (AE roundtrip of real
 grids: 5 triangles/graph, clustering 0.39 vs real 0.0), so the lever is
 stage-1. Picks the best override set from the committed CPU screen
