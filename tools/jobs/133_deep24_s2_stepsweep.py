@@ -4,4 +4,4 @@ import sys
 sys.path.insert(0, "/root/repo")
 from scripts.stepsweep import main
 
-main(["community-small-pca-deep24-s2", "every=2"])
+main(["community-small-pca-deep24-s2", "every=4"])
