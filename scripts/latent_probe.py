@@ -70,12 +70,15 @@ def main(argv):
                                        num_graphs=cfg.data.num_graphs)
     adj, n_node = dataset_to_arrays(train_g, max_n)
     ae_t = ae_mod.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)
+    flow_t0 = init_flow(jax.random.PRNGKey(0), cfg.flow)
     try:
         ae_p = restore_checkpoint(os.path.join(run_dir, "params_ae"),
                                   {"ae": ae_t})[0]["ae"]
     except FileNotFoundError:
+        # final params dir holds {"ae", "flow"} — restore with the full
+        # template (a partial template silently misaligns the arrays)
         ae_p = restore_checkpoint(os.path.join(run_dir, "params"),
-                                  {"ae": ae_t})[0]["ae"]
+                                  {"ae": ae_t, "flow": flow_t0})[0]["ae"]
 
     # real training-distribution embeddings (jittered, as the flow saw them)
     emb = compute_embeddings(ae_p, cfg, adj, n_node, jitter=True)
@@ -95,8 +98,13 @@ def main(argv):
     bsz = cfg.data.batch_size
     out = {"run": run, "real_cloud_rms_radius": round(real_radius, 4),
            "real_mean_pair_dist": round(real_pair, 4), "per_step": []}
-    fwd = jax.jit(lambda p, x, g: flow_forward(p, cfg.flow, x, g)[0])
-    inv = jax.jit(lambda p, z, g: flow_inverse(p, cfg.flow, z, g)[0])
+    # generation-mode flows condition message passing on the FULLY-
+    # CONNECTED graph (train/sample parity — gnfx/train/loop.py:222,
+    # gnfx/sample.py); feeding the data adjacency here gives nonsense
+    fwd = jax.jit(
+        lambda p, x, g: flow_forward(p, cfg.flow, x, g.fully_connected())[0])
+    inv = jax.jit(
+        lambda p, z, g: flow_inverse(p, cfg.flow, z, g.fully_connected())[0])
     for s in steps:
         state, _ = restore_checkpoint(ckpt_dir, tmpl, step=s)
         flow_p = state[0]
