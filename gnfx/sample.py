@@ -39,6 +39,7 @@ def sample_batch_device(
     connect_isolated: bool = False,
     edge_sample: bool = False,
     want_probs: bool = False,
+    decode_scale: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array | None]:
     """Device side: latents -> inverse flow -> hard adjacency f32[B, N, N].
 
@@ -57,6 +58,12 @@ def sample_batch_device(
     k_z, k_edge = jax.random.split(key)
     z = temperature * jax.random.normal(k_z, nodes.shape, jnp.float32) * mask[..., None]
     x, _ = flow_inverse(flow_params, fcfg, z, gb)
+    # decode_scale divides embedding distances before decoding (>1 → denser).
+    # At sharp decoder_c (protein's c=100) the sigmoid is a near-hard cutoff
+    # at d≈1 and the probability threshold moves the decode radius by <1%,
+    # so this is the knob that actually calibrates edge density there.
+    # Dynamic (traced) like temperature/threshold — no per-value executable.
+    x = x / jnp.asarray(decode_scale, jnp.float32)
     hard = ae.decode_to_adjacency(ae_params, acfg, x, gb, threshold,
                                   connect_isolated,
                                   key=k_edge if edge_sample else None)
@@ -165,6 +172,7 @@ def sample_graphs(
     edge_sample: bool = False,
     connect_components: bool = False,
     break_triangles: bool = False,
+    decode_scale: float = 1.0,
 ) -> List:
     """Generate `num_samples` networkx graphs. Host draws sizes; device runs
     fixed-shape batches; remainder batches are padded and truncated."""
@@ -182,6 +190,7 @@ def sample_graphs(
             jnp.asarray(chunk_p), max_nodes, temperature, threshold,
             connect_isolated, edge_sample,
             want_probs=connect_components or break_triangles,
+            decode_scale=decode_scale,
         )
         adj_np = np.asarray(jax.device_get(adj))[: len(chunk)]
         if connect_components or break_triangles:

@@ -80,6 +80,7 @@ def load_run(argv):
     edge_sample = bool(res.get("sample_edge_sample", False))
     connect_components = bool(res.get("sample_connect_components", False))
     break_triangles = bool(res.get("sample_break_triangles", False))
+    decode_scale = float(res.get("sample_decode_scale", 1.0))
     for a in argv:
         if a.startswith("edge_sample="):
             edge_sample = a.split("=")[1].lower() in ("1", "true", "yes")
@@ -87,6 +88,8 @@ def load_run(argv):
             connect_components = a.split("=")[1].lower() in ("1", "true", "yes")
         elif a.startswith("break_triangles="):
             break_triangles = a.split("=")[1].lower() in ("1", "true", "yes")
+        elif a.startswith("decode_scale="):
+            decode_scale = float(a.split("=")[1])
 
     template = {
         "ae": ae.init_autoencoder(jax.random.PRNGKey(0), cfg.ae),
@@ -129,7 +132,8 @@ def load_run(argv):
                 "connect_isolated": connect_isolated,
                 "edge_sample": edge_sample,
                 "connect_components": connect_components,
-                "break_triangles": break_triangles}
+                "break_triangles": break_triangles,
+                "decode_scale": decode_scale}
     return cfg, params, step, sampling, num_samples, seed, run_dir
 
 

@@ -47,12 +47,15 @@ def report(runs_dir="runs"):
             if rows:
                 best = min(rows, key=_score)
                 row["step"] = best["step"]
+                scale = best.get("decode_scale", 1.0)
                 row["decode"] = (
                     f"{best.get('variant', 'raw')} T={best['temp']} "
                     f"thr={best['threshold']}"
                     f"{' es' if best.get('edge_sample') else ''}"
                     f"{' ci' if best.get('connect_isolated') else ''}"
-                    f"{' cc' if best.get('connect_components') else ''}")
+                    f"{' cc' if best.get('connect_components') else ''}"
+                    f"{' bt' if best.get('break_triangles') else ''}"
+                    f"{f' ds={scale}' if scale != 1.0 else ''}")
                 row["mmd"] = _mmd3(best)
         else:
             mj = os.path.join(rd, "metrics.jsonl")

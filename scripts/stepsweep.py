@@ -112,8 +112,32 @@ def main(argv):
         # 60k swing 136 -> 2989 -> 20478 across T=1.0/0.8/0.6 (real 975),
         # so the density-matching T lives BETWEEN the old grid points.
         temps = (1.0, 0.9, 0.8, 0.7, 0.6)
-        decodes = ((0.5, False), (0.3, False), (0.5, True))
+        decodes = ((0.5, False), (0.5, True))
         n_probe, n_refine, screen_orbit = 32, 96, False
+        # the thr=0.3 candidate is dropped: at sharp decoder_c (protein's
+        # c=100) the probability threshold moves the decode radius <1% —
+        # its slot goes to the calibrated decode_scale dimension below.
+    calibrate_scale = max_n >= 128
+
+    real_mean_edges = float(np.mean([g.number_of_edges() for g in train_g]))
+
+    def _calibrated_scale(flow_p, T):
+        """Bisect decode_scale so 32 threshold-decode probes match the train
+        split's mean edge count (monotone: larger scale → denser)."""
+        lo, hi = 0.7, 3.0
+        for _ in range(7):
+            mid = (lo + hi) / 2.0
+            probe = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, 32,
+                                  size_dist, max_n, seed=907,
+                                  batch_size=cfg.data.batch_size,
+                                  temperature=T, threshold=0.5,
+                                  decode_scale=mid)
+            me = float(np.mean([g.number_of_edges() for g in probe]))
+            if me < real_mean_edges:
+                lo = mid
+            else:
+                hi = mid
+        return round((lo + hi) / 2.0, 4)
 
     out = []
     if refine_only:
@@ -140,26 +164,33 @@ def main(argv):
         best = None
         for vname, flow_p in variants.items():
             pick = dict(temp=1.0, thr=0.5, ci=False, es=False, cc=False,
-                        bt=False)
+                        bt=False, scale=1.0)
             best_score, best_parts = float("inf"), {}
             for T in temps:
-                for thr, es in decodes:
-                    for ci, cc, bt in repairs:
-                        probe = sample_graphs(
-                            flow_p, ae_p, cfg.flow, cfg.ae, n_probe,
-                            size_dist, max_n, seed=901,
-                            batch_size=cfg.data.batch_size,
-                            temperature=T, threshold=thr, connect_isolated=ci,
-                            edge_sample=es, connect_components=cc,
-                            break_triangles=bt,
-                        )
-                        parts = selection_score(
-                            train_g, probe, ref_frac_connected=conn_tr,
-                            include_orbit=screen_orbit)
-                        if parts["score"] < best_score:
-                            pick = dict(temp=T, thr=thr, ci=ci, es=es, cc=cc,
-                                        bt=bt)
-                            best_score, best_parts = parts["score"], parts
+                scales = (1.0,)
+                if calibrate_scale:
+                    s_star = _calibrated_scale(flow_p, T)
+                    if abs(s_star - 1.0) > 0.02:
+                        scales = (1.0, s_star)
+                for scale in scales:
+                    for thr, es in decodes:
+                        for ci, cc, bt in repairs:
+                            probe = sample_graphs(
+                                flow_p, ae_p, cfg.flow, cfg.ae, n_probe,
+                                size_dist, max_n, seed=901,
+                                batch_size=cfg.data.batch_size,
+                                temperature=T, threshold=thr,
+                                connect_isolated=ci,
+                                edge_sample=es, connect_components=cc,
+                                break_triangles=bt, decode_scale=scale,
+                            )
+                            parts = selection_score(
+                                train_g, probe, ref_frac_connected=conn_tr,
+                                include_orbit=screen_orbit)
+                            if parts["score"] < best_score:
+                                pick = dict(temp=T, thr=thr, ci=ci, es=es,
+                                            cc=cc, bt=bt, scale=scale)
+                                best_score, best_parts = parts["score"], parts
             final = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, n_final,
                                   size_dist, max_n, seed=77,
                                   batch_size=cfg.data.batch_size,
@@ -168,13 +199,15 @@ def main(argv):
                                   connect_isolated=pick["ci"],
                                   edge_sample=pick["es"],
                                   connect_components=pick["cc"],
-                                  break_triangles=pick["bt"])
+                                  break_triangles=pick["bt"],
+                                  decode_scale=pick["scale"])
             res = evaluate_generated(test_g, final)
             rec = {"step": s, "variant": vname, "temp": pick["temp"],
                    "threshold": pick["thr"], "connect_isolated": pick["ci"],
                    "edge_sample": pick["es"],
                    "connect_components": pick["cc"],
                    "break_triangles": pick["bt"],
+                   "decode_scale": pick["scale"],
                    "train_score": round(best_score, 4),
                    "train_mmd_sum": round(best_parts["mmd_sum"], 4),
                    "train_conn_penalty": round(
@@ -211,6 +244,7 @@ def main(argv):
                 edge_sample=rec.get("edge_sample", False),
                 connect_components=rec.get("connect_components", False),
                 break_triangles=rec.get("break_triangles", False),
+                decode_scale=rec.get("decode_scale", 1.0),
             )
             scores.append(selection_score(
                 train_g, probe, ref_frac_connected=conn_tr)["score"])
