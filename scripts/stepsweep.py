@@ -30,7 +30,8 @@ from gnfx.eval.selection import frac_connected, selection_score
 from gnfx.models import autoencoder as ae_mod
 from gnfx.models.flow import init_flow
 from gnfx.sample import sample_graphs
-from gnfx.train.checkpoint import _ckpt_steps, restore_checkpoint
+from gnfx.train.checkpoint import (_ckpt_steps, commit_run_artifacts,
+                                   restore_checkpoint)
 from gnfx.train.loop import make_optimizer
 
 TEMPS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
@@ -256,6 +257,11 @@ def main(argv):
     fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
     with open(os.path.join(run_dir, fname), "w") as f:
         json.dump(out, f, indent=2)
+    # A sweep is hours of work on big-N runs and this box gets reimaged
+    # without warning — commit the refined rows immediately, not at the
+    # next train job's cadence (round-3 verdict, artifact-loss window).
+    commit_run_artifacts(run_dir, step=out[-1]["step"] if out else 0,
+                         force=True, label="stepsweep")
     # Step selection must also stay on the train split: BEST (quotable) is
     # the refined-score minimum (falling back to the screening score for
     # non-refined rows); the test-optimal row is printed as a diagnostic
