@@ -90,14 +90,15 @@ def report(runs_dir="runs"):
         if row["step"] is not None or row["ci"] != "—":
             lines.append(f"| {row['run']} | {row['step']} | {row['decode']} "
                          f"| {row['mmd']} | {row['ci']} |")
-    sel = os.path.join(runs_dir, "seed_select.json")
-    if os.path.exists(sel):
-        with open(sel) as f:
+    for fn in sorted(os.listdir(runs_dir)):
+        if not (fn.startswith("seed_select") and fn.endswith(".json")):
+            continue
+        with open(os.path.join(runs_dir, fn)) as f:
             s = json.load(f)
         b = s["selected"]
         lines.append("")
         lines.append(
-            f"seed_select pick: **{b['run']}@{b['step']}** "
+            f"{fn[:-5]} pick: **{b['run']}@{b['step']}** "
             f"(train {_score(b):.3f}) -> test {_mmd3(b)}; spread across "
             f"{s['num_runs']} runs: {s['train_score_spread']:.3f}")
     return "\n".join(lines)
