@@ -134,7 +134,9 @@ def commit_run_artifacts(
     rel = os.path.relpath(key, repo)
     adds = []
     for f in ("config.json", "metrics.jsonl", "results.json",
-              "stepsweep.json", "eval_ci.json"):
+              "stepsweep.json", "stepsweep_partial.json",
+              "stepsweep.json.inflight", "stepsweep_partial.json.inflight",
+              "eval_ci.json"):
         if os.path.exists(os.path.join(key, f)):
             adds.append(os.path.join(rel, f))
     for d in ("params", "params_ae"):

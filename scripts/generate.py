@@ -71,16 +71,28 @@ def load_run(argv):
             res = json.load(f)["results"]
     except Exception:
         res = {}
+    # stepsweep persists its train-split-selected BEST row (incl.
+    # decode_scale, which train_gnf's own final grid never sweeps) under
+    # results.json["stepsweep_best"] — prefer it over the final-step
+    # selection so sweep-selected decodes don't silently revert here.
+    # NOTE: checkpoint STEP still defaults to end-of-run params; pass
+    # step= explicitly to sample the sweep-selected checkpoint.
+    best = res.get("stepsweep_best") or {}
     if temperature is None:
-        temperature = res.get("sample_temperature", 1.0)
+        temperature = best.get("temp", res.get("sample_temperature", 1.0))
     if threshold is None:
-        threshold = res.get("sample_threshold", 0.5)
+        threshold = best.get("threshold", res.get("sample_threshold", 0.5))
     if connect_isolated is None:
-        connect_isolated = bool(res.get("sample_connect_isolated", False))
-    edge_sample = bool(res.get("sample_edge_sample", False))
-    connect_components = bool(res.get("sample_connect_components", False))
-    break_triangles = bool(res.get("sample_break_triangles", False))
-    decode_scale = float(res.get("sample_decode_scale", 1.0))
+        connect_isolated = bool(best.get(
+            "connect_isolated", res.get("sample_connect_isolated", False)))
+    edge_sample = bool(best.get(
+        "edge_sample", res.get("sample_edge_sample", False)))
+    connect_components = bool(best.get(
+        "connect_components", res.get("sample_connect_components", False)))
+    break_triangles = bool(best.get(
+        "break_triangles", res.get("sample_break_triangles", False)))
+    decode_scale = float(best.get(
+        "decode_scale", res.get("sample_decode_scale", 1.0)))
     for a in argv:
         if a.startswith("edge_sample="):
             edge_sample = a.split("=")[1].lower() in ("1", "true", "yes")

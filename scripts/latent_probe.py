@@ -69,6 +69,19 @@ def main(argv):
     train_g, _, max_n = create_dataset(cfg.data.dataset, seed=cfg.data.seed,
                                        num_graphs=cfg.data.num_graphs)
     adj, n_node = dataset_to_arrays(train_g, max_n)
+    # Whole static-shape batches only; truncate BEFORE the real-cloud stats
+    # so real and generated ratios share the exact same graph set (a dropped
+    # tail must not skew one side's denominator).
+    bsz = cfg.data.batch_size
+    nb = (len(adj) // bsz) * bsz
+    if nb == 0:
+        raise SystemExit(f"latent_probe: need >= batch_size={bsz} train "
+                         f"graphs, have {len(adj)}")
+    if nb < len(adj):
+        print(f"[probe] truncating {len(adj)} -> {nb} graphs "
+              "(whole batches; real/generated stats share this set)",
+              flush=True)
+        adj, n_node = adj[:nb], n_node[:nb]
     ae_t = ae_mod.init_autoencoder(jax.random.PRNGKey(0), cfg.ae)
     flow_t0 = init_flow(jax.random.PRNGKey(0), cfg.flow)
     try:
@@ -95,7 +108,6 @@ def main(argv):
     ckpt_dir = os.path.join(run_dir, "ckpt")
     steps = steps_arg or [_ckpt_steps(ckpt_dir)[-1]]
 
-    bsz = cfg.data.batch_size
     out = {"run": run, "real_cloud_rms_radius": round(real_radius, 4),
            "real_mean_pair_dist": round(real_pair, 4), "per_step": []}
     # generation-mode flows condition message passing on the FULLY-

@@ -45,7 +45,17 @@ def report(runs_dir="runs"):
             with open(sw) as f:
                 rows = json.load(f)
             if rows:
-                best = min(rows, key=_score)
+                # Same pool rule as stepsweep BEST / seed_select: refined
+                # (orbit-inclusive) scores are not comparable with big-N
+                # orbit-free screening scores, so when any refined rows
+                # exist they ARE the ranking pool; likewise pre-protocol
+                # rows (no connectivity penalty) never compete with
+                # penalty-inflated scores.
+                refined = [r for r in rows if "train_score_refined" in r]
+                pool = (refined
+                        or [r for r in rows if "train_conn_penalty" in r]
+                        or rows)
+                best = min(pool, key=_score)
                 row["step"] = best["step"]
                 scale = best.get("decode_scale", 1.0)
                 row["decode"] = (

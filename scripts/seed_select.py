@@ -53,6 +53,16 @@ def main(argv):
               "rows (no connectivity penalty — score scale incomparable)",
               flush=True)
         rows = pool
+    # Big-N sweeps carry orbit-FREE screening scores on non-refined rows —
+    # systematically lower than refined orbit-inclusive scores, so a
+    # screen-only row must not win the cross-seed pick when refined rows
+    # exist (stepsweep BEST applies the same rule per run).
+    refined = [r for r in rows if "train_score_refined" in r]
+    if refined and len(refined) < len(rows):
+        print(f"[seed_select] dropped {len(rows) - len(refined)} screen-only "
+              "rows (refined rows present — orbit-free screen scores are "
+              "not comparable)", flush=True)
+        rows = refined
 
     def score(r):
         # prefer the refined (multi-seed, 4x-sample) train score when the

@@ -14,6 +14,7 @@ held-out too) is what BASELINE.md quotes; the test-oracle row is printed
 as a diagnostic of the remaining selection gap.
 """
 
+import gc
 import json
 import os
 import sys
@@ -46,6 +47,29 @@ DECODES = ((0.3, False), (0.5, False), (0.7, False), (0.8, False), (0.5, True))
 # Selected on the train split via the connectivity-aware selection score.
 REPAIRS = ((False, False, False), (True, False, False), (False, True, False))
 TRIANGLE_FREE_REPAIRS = ((False, False, True), (False, True, True))
+
+
+# In-sweep host-RSS bound (round-4 verdict #4): the axon relay + jit caches
+# leak host memory across the thousands of sample_graphs calls a sweep
+# makes (observed: a 3,490 s sweep ending at 126 GB RSS on a ~188 GB box —
+# one concurrent job away from an OOM kill). Between checkpoint rows the
+# sweep clears caches; if RSS still exceeds this, it persists progress to
+# an .inflight file, commits, and exits with REQUEUE_EXIT_CODE —
+# tools/tpu_worker.py treats that as "leave the job queued + re-exec for a
+# fresh process image", and the rerun skips already-swept steps.
+RSS_EXIT_GB = 40.0
+REQUEUE_EXIT_CODE = 75  # EX_TEMPFAIL
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
 
 
 def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
@@ -140,6 +164,9 @@ def main(argv):
                 hi = mid
         return round((lo + hi) / 2.0, 4)
 
+    fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
+    inflight_path = os.path.join(run_dir, fname + ".inflight")
+
     out = []
     if refine_only:
         with open(os.path.join(run_dir, "stepsweep.json")) as f:
@@ -157,6 +184,36 @@ def main(argv):
         steps = _ckpt_steps(os.path.join(run_dir, "ckpt"))[::-1][::every][::-1]
         if only_steps is not None:
             steps = [s for s in steps if s in only_steps]
+        # Resume a sweep interrupted by the RSS guard (or a reimage): the
+        # .inflight file carries completed rows; finished sweeps rename it
+        # away, so a stale stepsweep.json from an older protocol is never
+        # silently resumed.
+        if os.path.exists(inflight_path):
+            with open(inflight_path) as f:
+                out = json.load(f)
+            done_steps = {r["step"] for r in out}
+            steps = [s for s in steps if s not in done_steps]
+            print(f"[sweep] resuming: {len(out)} rows from inflight, "
+                  f"{len(steps)} steps remain", flush=True)
+
+    def _save_inflight():
+        with open(inflight_path, "w") as f:
+            json.dump(out, f)
+
+    def _rss_guard(where):
+        jax.clear_caches()
+        gc.collect()
+        rss = _rss_gb()
+        if rss > RSS_EXIT_GB:
+            _save_inflight()
+            commit_run_artifacts(run_dir, step=out[-1]["step"] if out else 0,
+                                 force=True, label=f"stepsweep inflight "
+                                 f"({where}, rss {rss:.1f} GB)")
+            print(f"[sweep] rss {rss:.1f} GB > {RSS_EXIT_GB} GB after "
+                  f"{where} — progress saved, exiting for requeue",
+                  flush=True)
+            raise SystemExit(REQUEUE_EXIT_CODE)
+
     for s in steps:
         # EMA runs checkpoint (params, opt_state, ema); compare both
         names = ("raw", "ema") if use_ema else ("raw",)
@@ -222,6 +279,8 @@ def main(argv):
         rec = best
         out.append(rec)
         print("[sweep]", json.dumps(rec), flush=True)
+        _save_inflight()
+        _rss_guard(f"step {s}")
 
     # Two-stage selection: each row's train_score is the min of a 48-way
     # grid probed with 64 samples, so taking the min across ~40 rows again
@@ -232,6 +291,8 @@ def main(argv):
     have = set(_ckpt_steps(os.path.join(run_dir, "ckpt")))
     top_k = sorted((r for r in out if r["step"] in have),
                    key=lambda r: r["train_score"])[:5]
+    # already-refined rows (an RSS-guard requeue mid-refine) keep their score
+    top_k = [r for r in top_k if "train_score_refined" not in r]
     for rec in top_k:
         flow_p = _restore_variant(run_dir, flow_t, opt_t, use_ema,
                                   rec["step"], rec.get("variant", "raw"))
@@ -253,15 +314,13 @@ def main(argv):
         print("[sweep] refined", json.dumps(
             {k: rec.get(k) for k in ("step", "variant", "train_score",
                                      "train_score_refined")}), flush=True)
+        _save_inflight()
+        _rss_guard(f"refine step {rec['step']}")
 
-    fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
     with open(os.path.join(run_dir, fname), "w") as f:
         json.dump(out, f, indent=2)
-    # A sweep is hours of work on big-N runs and this box gets reimaged
-    # without warning — commit the refined rows immediately, not at the
-    # next train job's cadence (round-3 verdict, artifact-loss window).
-    commit_run_artifacts(run_dir, step=out[-1]["step"] if out else 0,
-                         force=True, label="stepsweep")
+    if os.path.exists(inflight_path):
+        os.remove(inflight_path)
     # Step selection must also stay on the train split: BEST (quotable) is
     # the refined-score minimum (falling back to the screening score for
     # non-refined rows); the test-optimal row is printed as a diagnostic
@@ -280,6 +339,21 @@ def main(argv):
                                                 r["train_score"]))
     oracle = min(out, key=lambda r: r["mmd_degree"] + r["mmd_clustering"]
                  + r["mmd_orbit"])
+    # Persist BEST (incl. decode_scale, which train_gnf's final grid never
+    # sweeps) so generate.py / eval_ci default to the sweep-selected decode
+    # instead of silently reverting to the final-step selection.
+    res_path = os.path.join(run_dir, "results.json")
+    if only_steps is None and os.path.exists(res_path):
+        with open(res_path) as f:
+            res_doc = json.load(f)
+        res_doc.setdefault("results", {})["stepsweep_best"] = best
+        with open(res_path, "w") as f:
+            json.dump(res_doc, f, indent=2)
+    # A sweep is hours of work on big-N runs and this box gets reimaged
+    # without warning — commit the rows immediately, not at the next train
+    # job's cadence (round-3 verdict, artifact-loss window).
+    commit_run_artifacts(run_dir, step=out[-1]["step"] if out else 0,
+                         force=True, label="stepsweep")
     print("[sweep] BEST", json.dumps(best), flush=True)
     print("[sweep] TEST-ORACLE (diagnostic, not quotable)",
           json.dumps(oracle), flush=True)

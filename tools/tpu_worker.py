@@ -20,9 +20,11 @@ import sys
 import time
 import traceback
 
-QUEUE = "/tmp/tpu_jobs"
-DONE = "/tmp/tpu_jobs/done"
-RSS_RESTART_GB = 40.0
+# Overridable so a scratch worker (tests, verification) can run against its
+# own queue without stealing jobs from the production one.
+QUEUE = os.environ.get("TPU_JOBS_DIR", "/tmp/tpu_jobs")
+DONE = os.path.join(QUEUE, "done")
+RSS_RESTART_GB = float(os.environ.get("TPU_WORKER_RSS_GB", "40.0"))
 os.makedirs(DONE, exist_ok=True)
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
@@ -58,6 +60,14 @@ while True:
             src = f.read()
         exec(compile(src, path, "exec"), {"__name__": "__tpu_job__"})
     except SystemExit as e:
+        if e.code == 75:
+            # EX_TEMPFAIL: the job bounded its own RSS (scripts/stepsweep.py
+            # RSS guard), saved restartable progress, and wants a fresh
+            # process image. Leave it queued; it resumes after re-exec.
+            print(f"[worker] ==== {job} requeued (EX_TEMPFAIL) in "
+                  f"{time.time()-t0:.1f}s ==== re-exec for a fresh image",
+                  flush=True)
+            os.execv(sys.executable, [sys.executable, "-u", __file__])
         if e.code not in (0, None):
             status = "fail"
     except BaseException:
