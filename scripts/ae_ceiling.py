@@ -42,6 +42,7 @@ def main(argv):
     # trade its extra edge mass away at a higher threshold).
     ae_from = None
     quick = False
+    resume = False
     thresholds = (0.5,)
     for a in list(argv):
         if a.startswith("ae_from="):
@@ -49,6 +50,13 @@ def main(argv):
             argv = [x for x in argv if x is not a]
         elif a.startswith("quick="):
             quick = a.split("=", 1)[1] in ("1", "true")
+            argv = [x for x in argv if x is not a]
+        elif a.startswith("resume="):
+            # long screens (protein 40k AE) checkpoint mid-stage via
+            # train_autoencoder's ckpt_ae path and survive requeue/reimage;
+            # pair with name= + train.checkpoint_dir= so the screen's
+            # checkpoints never collide with a real run's
+            resume = a.split("=", 1)[1] in ("1", "true")
             argv = [x for x in argv if x is not a]
         elif a.startswith("thresholds="):
             thresholds = tuple(float(t) for t in a.split("=", 1)[1].split(","))
@@ -73,7 +81,7 @@ def main(argv):
         params = restore_checkpoint(src, tpl)[0]["ae"]
         print(f"[ceiling] AE loaded from {src}", flush=True)
     else:
-        params = train_autoencoder(cfg, adj_tr, n_tr)
+        params = train_autoencoder(cfg, adj_tr, n_tr, resume=resume)
     train_s = time.time() - t0
 
     gb = batch_from_dense(adj_te, n_te)

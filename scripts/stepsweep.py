@@ -86,6 +86,7 @@ def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
 def main(argv):
     run = argv[0] if argv and "=" not in argv[0] else "community-small"
     num_samples, every, only_steps, refine_only = None, 1, None, False
+    as_main = False
     for a in argv:
         if a.startswith("num_samples="):
             num_samples = int(a.split("=")[1])
@@ -93,6 +94,13 @@ def main(argv):
             every = int(a.split("=")[1])
         elif a.startswith("steps="):   # comma-list of exact checkpoint steps
             only_steps = {int(s) for s in a.split("=")[1].split(",")}
+        elif a.startswith("as_main="):
+            # steps= sweeps normally write stepsweep_partial.json; as_main=1
+            # MERGES the new rows into stepsweep.json (replacing same-step
+            # rows, keeping the rest) so a targeted sweep of a horizon
+            # extension joins the run's selection of record instead of
+            # hiding in a side file the reports never read
+            as_main = a.split("=")[1].lower() in ("1", "true", "yes")
         elif a.startswith("refine_only="):
             # re-rank an existing stepsweep.json under the refined protocol
             # without re-sweeping (minutes, not tens of minutes)
@@ -164,7 +172,8 @@ def main(argv):
                 hi = mid
         return round((lo + hi) / 2.0, 4)
 
-    fname = "stepsweep.json" if only_steps is None else "stepsweep_partial.json"
+    fname = ("stepsweep.json" if only_steps is None or as_main
+             else "stepsweep_partial.json")
     inflight_path = os.path.join(run_dir, fname + ".inflight")
 
     out = []
@@ -195,6 +204,14 @@ def main(argv):
             steps = [s for s in steps if s not in done_steps]
             print(f"[sweep] resuming: {len(out)} rows from inflight, "
                   f"{len(steps)} steps remain", flush=True)
+        elif as_main and only_steps is not None and \
+                os.path.exists(os.path.join(run_dir, fname)):
+            # merge mode: prior rows (other steps) join the ranking; the
+            # requested steps are re-swept under the current protocol
+            with open(os.path.join(run_dir, fname)) as f:
+                out = [r for r in json.load(f) if r["step"] not in only_steps]
+            print(f"[sweep] as_main merge: keeping {len(out)} prior rows",
+                  flush=True)
 
     def _save_inflight():
         with open(inflight_path, "w") as f:
@@ -343,7 +360,7 @@ def main(argv):
     # sweeps) so generate.py / eval_ci default to the sweep-selected decode
     # instead of silently reverting to the final-step selection.
     res_path = os.path.join(run_dir, "results.json")
-    if only_steps is None and os.path.exists(res_path):
+    if (only_steps is None or as_main) and os.path.exists(res_path):
         with open(res_path) as f:
             res_doc = json.load(f)
         res_doc.setdefault("results", {})["stepsweep_best"] = best

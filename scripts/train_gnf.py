@@ -67,6 +67,14 @@ def main(argv):
         from gnfx.utils.debug import enable_nan_checks
         enable_nan_checks()
         print("[gnfx] jax_debug_nans ON (slow; debugging only)", flush=True)
+    # eval_final=0: skip the end-of-run selection grid + final sampling +
+    # IWAE (at protein shape that tail costs ~1.5 h — measured: job 05b,
+    # 8021 s total vs 2610 s of training). Horizon-extension jobs whose
+    # quotable selection is the follow-up stepsweep use this.
+    eval_final = True
+    if "eval_final=0" in overrides:
+        overrides.remove("eval_final=0")
+        eval_final = False
     cfg = load_config(overrides)
 
     run_dir = os.path.join("runs", cfg.name)
@@ -181,6 +189,16 @@ def main(argv):
     save_checkpoint(os.path.join(run_dir, "params"), cfg.train.num_steps,
                     {"ae": ae_params, "flow": flow_params},
                     meta={"preset": cfg.name})
+
+    if not eval_final:
+        from gnfx.train.checkpoint import commit_run_artifacts
+        commit_run_artifacts(run_dir, step=cfg.train.num_steps, force=True,
+                             label="train (eval_final=0)")
+        metrics.write(cfg.train.num_steps, stage="final_skipped")
+        metrics.close()
+        print("[gnfx] eval_final=0: selection grid + final eval skipped "
+              "(run stepsweep for the quotable selection)", flush=True)
+        return {}
 
     # Generation-hyperparameter selection on the TRAIN split (connectivity-
     # aware score), then final sampling + full MMD eval against the held-out

@@ -1,4 +1,13 @@
-"""Grid clustering-defect lever retrain (round-3 verdict item 4, step 2)
+"""KILLED 2026-08-20 (round 5, final round) — removed from the live queue.
+The round-4 deprioritization below already established this retrain can
+at most close a flow-side gap on a dataset whose row of record (MMD sum
+0.187, clustering 0.000 via break_triangles) is the best non-community
+number in the repo; the final round's queue budget went to the two
+higher-ranked verdict items (protein #1, deep24 #2). The AE screen
+artifact (runs/grid_ae_screen_cpu.json) stays committed as the recorded
+state of the lever.
+
+Grid clustering-defect lever retrain (round-3 verdict item 4, step 2)
 — DEPRIORITIZED on screen evidence (round 4): the resweep already landed
 clustering 0.000 via break_triangles (BASELINE grid row, MMD sum 0.187),
 leaving degree 0.176 as the only defect; the AE screen's own numbers say

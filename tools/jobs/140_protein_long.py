@@ -1,4 +1,9 @@
-"""protein-pca2 horizon extension: 60k -> 400k steps (round-4 verdict #1).
+"""SUPERSEDED 2026-08-20 (round 5, final round) by tools/jobs/152_protein_ext.py:
+the 400k horizon was round-spanning by design and there is no next round;
+152 sizes the horizon to the remaining wall clock (cap 160k) and skips the
+1.5 h final-eval tail in favour of the targeted as_main stepsweep (153).
+
+protein-pca2 horizon extension: 60k -> 400k steps (round-4 verdict #1).
 
 The 60k run landed but is far underfit: generated graphs carry 10-20k
 edges vs the real ~975 (the flow underestimates embedding-cloud spread),
