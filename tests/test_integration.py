@@ -89,6 +89,66 @@ def test_stepsweep_tool(smoke_run, monkeypatch):
 
 
 @pytest.mark.slow
+def test_stepsweep_rss_guard_and_resume(smoke_run, monkeypatch):
+    """The in-sweep RSS bound must exit EX_TEMPFAIL with progress saved to
+    the .inflight file, and the rerun must skip the already-swept steps,
+    finish, remove the inflight file, and persist BEST into results.json
+    (the worker requeues a 75-exit and re-execs for a fresh image)."""
+    cwd, _ = smoke_run
+    monkeypatch.chdir(cwd)
+    from scripts import stepsweep
+    monkeypatch.setattr(stepsweep, "TEMPS", (1.0,))
+    monkeypatch.setattr(stepsweep, "DECODES", ((0.5, False),))
+    monkeypatch.setattr(stepsweep, "RSS_EXIT_GB", 1e-4)  # trip immediately
+    with pytest.raises(SystemExit) as e:
+        stepsweep.main(["smoke", "num_samples=16"])
+    assert e.value.code == stepsweep.REQUEUE_EXIT_CODE
+    inflight = os.path.join("runs", "smoke", "stepsweep.json.inflight")
+    assert os.path.exists(inflight)
+    done_rows = json.load(open(inflight))
+    assert len(done_rows) >= 1
+    monkeypatch.setattr(stepsweep, "RSS_EXIT_GB", 1e9)
+    best = stepsweep.main(["smoke", "num_samples=16"])
+    assert not os.path.exists(inflight)
+    swept = json.load(open(os.path.join("runs", "smoke", "stepsweep.json")))
+    # resumed rows were kept (not re-swept) and the sweep completed them all
+    assert {r["step"] for r in swept} >= {r["step"] for r in done_rows}
+    from gnfx.train.checkpoint import _ckpt_steps
+    assert {r["step"] for r in swept} == set(
+        _ckpt_steps(os.path.join("runs", "smoke", "ckpt")))
+    res = json.load(open(os.path.join("runs", "smoke", "results.json")))
+    assert res["results"]["stepsweep_best"]["step"] == best["step"]
+
+
+@pytest.mark.slow
+def test_stepsweep_as_main_merge(smoke_run, monkeypatch):
+    """A targeted steps= sweep with as_main=1 merges into stepsweep.json:
+    prior rows at other steps stay in the ranking, same-step rows are
+    replaced, and BEST is persisted (a horizon extension's rows must
+    compete with the earlier sweep instead of hiding in a partial file)."""
+    cwd, _ = smoke_run
+    monkeypatch.chdir(cwd)
+    from gnfx.train.checkpoint import _ckpt_steps
+    from scripts import stepsweep
+    monkeypatch.setattr(stepsweep, "TEMPS", (1.0,))
+    monkeypatch.setattr(stepsweep, "DECODES", ((0.5, False),))
+    sw_path = os.path.join("runs", "smoke", "stepsweep.json")
+    prior = [{"step": -1, "variant": "raw", "temp": 0.9, "threshold": 0.5,
+              "train_score": 99.0, "train_mmd_sum": 99.0,
+              "train_conn_penalty": 0.0, "train_score_refined": 98.0,
+              "mmd_degree": 9, "mmd_clustering": 9, "mmd_orbit": 9}]
+    with open(sw_path, "w") as f:
+        json.dump(prior, f)
+    last = _ckpt_steps(os.path.join("runs", "smoke", "ckpt"))[-1]
+    best = stepsweep.main(["smoke", "num_samples=16",
+                           f"steps={last}", "as_main=1"])
+    swept = json.load(open(sw_path))
+    assert {r["step"] for r in swept} == {-1, last}
+    assert best["step"] == last  # refined real row beats the fake prior
+    assert not os.path.exists(sw_path + ".inflight")
+
+
+@pytest.mark.slow
 def test_eval_ci_tool(smoke_run, monkeypatch):
     cwd, _ = smoke_run
     monkeypatch.chdir(cwd)
