@@ -72,6 +72,26 @@ def _rss_gb() -> float:
     return 0.0
 
 
+def calibrated_scale(mean_edges_at, real_mean_edges, lo=0.2, hi=4.0,
+                     iters=9):
+    """Bisect decode_scale so probe decodes match the train split's mean
+    edge count. `mean_edges_at(scale)` must be monotone increasing (the
+    decoder divides embedding distances by the scale: larger → denser).
+
+    Range covers BOTH directions: at the geometry-correct T≈1.0 protein
+    decodes ~8x too sparse (needs scale>1), but at lower T the density
+    explodes (20k edges at T=0.6 vs real ~975) and the matching scale is
+    far BELOW 1 — the original [0.7, 3.0] range clamped there and returned
+    ~0.709 rows still 13x too dense (observed, job 07, round 5)."""
+    for _ in range(iters):
+        mid = (lo + hi) / 2.0
+        if mean_edges_at(mid) < real_mean_edges:
+            lo = mid
+        else:
+            hi = mid
+    return round((lo + hi) / 2.0, 4)
+
+
 def _restore_variant(run_dir, flow_t, opt_t, use_ema, step, variant):
     """Flow params for one (checkpoint step, raw|ema) variant."""
     ckpt_dir = os.path.join(run_dir, "ckpt")
@@ -155,22 +175,15 @@ def main(argv):
     real_mean_edges = float(np.mean([g.number_of_edges() for g in train_g]))
 
     def _calibrated_scale(flow_p, T):
-        """Bisect decode_scale so 32 threshold-decode probes match the train
-        split's mean edge count (monotone: larger scale → denser)."""
-        lo, hi = 0.7, 3.0
-        for _ in range(7):
-            mid = (lo + hi) / 2.0
+        def mean_edges_at(scale):
             probe = sample_graphs(flow_p, ae_p, cfg.flow, cfg.ae, 32,
                                   size_dist, max_n, seed=907,
                                   batch_size=cfg.data.batch_size,
                                   temperature=T, threshold=0.5,
-                                  decode_scale=mid)
-            me = float(np.mean([g.number_of_edges() for g in probe]))
-            if me < real_mean_edges:
-                lo = mid
-            else:
-                hi = mid
-        return round((lo + hi) / 2.0, 4)
+                                  decode_scale=scale)
+            return float(np.mean([g.number_of_edges() for g in probe]))
+
+        return calibrated_scale(mean_edges_at, real_mean_edges)
 
     fname = ("stepsweep.json" if only_steps is None or as_main
              else "stepsweep_partial.json")

@@ -159,6 +159,24 @@ def test_eval_ci_tool(smoke_run, monkeypatch):
     assert os.path.exists(os.path.join("runs", "smoke", "eval_ci.json"))
 
 
+def test_calibrated_scale_covers_both_directions():
+    """Density calibration must find matching scales on BOTH sides of 1.0:
+    protein decodes ~8x too sparse at T=1.0 (scale > 1) but 20x too dense
+    at T=0.6 (scale << 0.7 — the original [0.7, 3.0] range clamped at its
+    lower bound and returned rows 13x too dense)."""
+    from scripts.stepsweep import calibrated_scale
+    # synthetic monotone density: edges = base * scale^3
+    for base, real, side in ((120.0, 975.0, "sparse"),
+                             (20000.0, 975.0, "dense")):
+        s = calibrated_scale(lambda sc, b=base: b * sc ** 3, real)
+        got = base * s ** 3
+        assert abs(got - real) / real < 0.15, (side, s, got)
+        if side == "sparse":
+            assert s > 1.0
+        else:
+            assert s < 0.5
+
+
 def test_seed_select_prefers_refined(tmp_path, monkeypatch):
     """seed_select must rank on train_score_refined when present: the
     screening score's cross-row min overfits MC noise (a fluky row with
