@@ -141,9 +141,9 @@ PRESETS: dict[str, ExperimentConfig] = {
     "community-small": _preset(
         "community-small",
         data=DataConfig(dataset="community-small", batch_size=32),
-        # scan_unroll=12 (full coupling-stack unroll): measured 1.6x device
-        # steps/s at exactly this shape (runs/unroll_flagship.json, 557 vs
-        # 348) — tiny-graph training is op-dispatch-bound on device and the
+        # scan_unroll=12 (full coupling-stack unroll): measured 1.55x device
+        # steps/s at exactly this shape (runs/unroll_flagship.json, 519 vs
+        # 335) — tiny-graph training is op-dispatch-bound on device and the
         # unroll lets XLA fuse across couplings. Pure compile knob, same math.
         flow=FlowConfig(node_dim=20, num_couplings=12, gnn_hidden=128,
                         gnn_rounds=3, message_mode="attention",

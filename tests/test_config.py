@@ -44,7 +44,7 @@ def test_pca_preset_matches_committed_flagship(run):
     got = to_dict(load_config([run]))
     want["train"].pop("checkpoint_dir", None)
     got["train"].pop("checkpoint_dir", None)
-    # scan_unroll is a pure compilation knob (identical math, measured 1.6x
+    # scan_unroll is a pure compilation knob (identical math, measured 1.55x
     # device steps/s — runs/unroll_flagship.json); presets carry the fast
     # setting while committed runs recorded whatever was current when they
     # trained. Recipe identity is about the modeled distribution, not the
