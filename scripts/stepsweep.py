@@ -231,18 +231,27 @@ def main(argv):
             json.dump(out, f)
 
     def _rss_guard(where):
+        # cheap check first: clearing jax caches forces re-jit of every
+        # sampling function on the next row (~30 s/row of recompiles), so
+        # only pay it when RSS actually approaches the bound
+        rss = _rss_gb()
+        if rss <= RSS_EXIT_GB:
+            return
         jax.clear_caches()
         gc.collect()
         rss = _rss_gb()
-        if rss > RSS_EXIT_GB:
-            _save_inflight()
-            commit_run_artifacts(run_dir, step=out[-1]["step"] if out else 0,
-                                 force=True, label=f"stepsweep inflight "
-                                 f"({where}, rss {rss:.1f} GB)")
-            print(f"[sweep] rss {rss:.1f} GB > {RSS_EXIT_GB} GB after "
-                  f"{where} — progress saved, exiting for requeue",
-                  flush=True)
-            raise SystemExit(REQUEUE_EXIT_CODE)
+        if rss <= RSS_EXIT_GB:
+            print(f"[sweep] rss trimmed to {rss:.1f} GB after {where} "
+                  "(caches cleared)", flush=True)
+            return
+        _save_inflight()
+        commit_run_artifacts(run_dir, step=out[-1]["step"] if out else 0,
+                             force=True, label=f"stepsweep inflight "
+                             f"({where}, rss {rss:.1f} GB)")
+        print(f"[sweep] rss {rss:.1f} GB > {RSS_EXIT_GB} GB after "
+              f"{where} — progress saved, exiting for requeue",
+              flush=True)
+        raise SystemExit(REQUEUE_EXIT_CODE)
 
     for s in steps:
         # EMA runs checkpoint (params, opt_state, ema); compare both
