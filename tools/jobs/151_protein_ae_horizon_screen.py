@@ -25,7 +25,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-WINDDOWN = 1787269200  # 23:40 local 2026-08-20 (round-5 queue hard end)
+WINDDOWN = 1787262900  # 21:55 UTC 2026-08-20 (final-round queue hard end,
+                       # retimed: the round actually ends ~22:10, not 23:40)
 EVAL_MARGIN_S = 1200   # ceiling eval + commit
 RATE = 6.5             # conservative AE steps/s at N=512 (measured ~7)
 

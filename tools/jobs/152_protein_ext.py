@@ -17,15 +17,18 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-TRAIN_END = 1787267400  # 23:10 local (sweep + throughput need the rest)
+TRAIN_END = 1787255100  # 19:45 UTC (retimed for the real ~22:10 round end;
+                        # this job now runs BEFORE the s2 stepsweep so the
+                        # queue's tail-risk lands on deep24 (verdict #2),
+                        # not protein (verdict #1))
 RATE = 21.0             # conservative flow steps/s at N=512 (measured ~23)
 
 budget = max(0.0, TRAIN_END - time.time() - 300)
 steps = 60000 + int(budget * RATE)
 steps = min(160000, (steps // 4000) * 4000)  # align to ckpt cadence
-if steps < 90000:
+if steps < 84000:
     print(f"[152] SKIPPED {time.strftime('%F %T')}: affordable horizon "
-          f"{steps} < 90k — a <30k-step extension can't move a 60k-underfit "
+          f"{steps} < 84k — a <24k-step extension can't move a 60k-underfit "
           "run; leaving the 60k decode_scale resweep (job 07) as the "
           "protein row of record.", flush=True)
 else:

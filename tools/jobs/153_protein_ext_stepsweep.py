@@ -19,7 +19,7 @@ from gnfx.train.checkpoint import _ckpt_steps
 
 steps = _ckpt_steps("runs/protein-pca2/ckpt")
 sel = {steps[-1]}
-if time.time() < 1787266200 and len(steps) > 1:  # 22:50 local: afford row 2
+if time.time() < 1787253600 and len(steps) > 1:  # 19:20 UTC: afford row 2
     target = steps[-1] - 48000
     sel.add(min(steps, key=lambda s: abs(s - target)))
 print(f"[153] sweeping steps {sorted(sel)} of {len(steps)} ckpts",

@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-if time.time() > 1787271300:  # 00:15 local next day: wind-down margin
+if time.time() > 1787262300:  # 21:45 UTC: wind-down margin
     print("[154] SKIPPED: past wind-down margin", flush=True)
 else:
     from scripts.generate import load_run
